@@ -1,0 +1,25 @@
+"""Test configuration: force an 8-device virtual CPU platform so multi-chip
+sharding paths are exercised without TPU hardware (SURVEY.md §4)."""
+
+import os
+
+os.environ["JAX_PLATFORMS"] = "cpu"
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import jax
+
+# The axon TPU plugin overrides JAX_PLATFORMS from the environment; force CPU
+# through the config API as well so the 8-device virtual mesh is used.
+jax.config.update("jax_platforms", "cpu")
+
+import numpy as np
+import pytest
+
+
+@pytest.fixture
+def rng():
+    return np.random.default_rng(0)

@@ -1,0 +1,145 @@
+"""Window partition/reverse, rel-pos indexing, shift masks, attention parity."""
+
+import numpy as np
+import pytest
+import torch
+
+import jax
+import jax.numpy as jnp
+
+from tpudepth.ops.attention import window_cross_attention_xla
+from tpudepth.ops.pallas.window_attn import window_attention_pallas
+from tpudepth.ops.window import (
+    pad_to_window_multiple,
+    relative_position_index,
+    shifted_window_attention_mask,
+    window_partition,
+    window_reverse,
+)
+
+
+def torch_window_partition(x, window_size):
+    """Reference torch ordering (src/SAM.py:30-42)."""
+    b, h, w, c = x.shape
+    x = x.view(b, h // window_size, window_size, w // window_size, window_size, c)
+    return x.permute(0, 1, 3, 2, 4, 5).contiguous().view(-1, window_size, window_size, c)
+
+
+def test_window_partition_matches_torch_order(rng):
+    x = rng.standard_normal((2, 14, 21, 8), dtype=np.float32)
+    want = torch_window_partition(torch.from_numpy(x), 7).numpy()
+    got = np.asarray(window_partition(jnp.asarray(x), 7))
+    np.testing.assert_allclose(got, want)
+
+
+def test_window_roundtrip(rng):
+    x = rng.standard_normal((2, 14, 21, 8), dtype=np.float32)
+    w = window_partition(jnp.asarray(x), 7)
+    back = window_reverse(w, 7, 14, 21)
+    np.testing.assert_allclose(np.asarray(back), x)
+
+
+def test_relative_position_index_matches_swin_construction():
+    """Bit-parity with src/SAM.py:90-99."""
+    ws = 7
+    coords_h = torch.arange(ws)
+    coords_w = torch.arange(ws)
+    coords = torch.stack(torch.meshgrid([coords_h, coords_w], indexing="ij"))
+    coords_flatten = torch.flatten(coords, 1)
+    rel = coords_flatten[:, :, None] - coords_flatten[:, None, :]
+    rel = rel.permute(1, 2, 0).contiguous()
+    rel[:, :, 0] += ws - 1
+    rel[:, :, 1] += ws - 1
+    rel[:, :, 0] *= 2 * ws - 1
+    want = rel.sum(-1).numpy()
+    got = relative_position_index(ws)
+    np.testing.assert_array_equal(got, want)
+
+
+def test_shift_mask_matches_reference_construction():
+    """Parity with BasicCRFLayer mask building (src/newcrf_layers.py:331-350)."""
+    h, w, ws, shift = 30, 40, 7, 3
+    hp = int(np.ceil(h / ws)) * ws
+    wp = int(np.ceil(w / ws)) * ws
+    img_mask = torch.zeros((1, hp, wp, 1))
+    h_slices = (slice(0, -ws), slice(-ws, -shift), slice(-shift, None))
+    w_slices = (slice(0, -ws), slice(-ws, -shift), slice(-shift, None))
+    cnt = 0
+    for hs in h_slices:
+        for wslc in w_slices:
+            img_mask[:, hs, wslc, :] = cnt
+            cnt += 1
+    mw = torch_window_partition(img_mask, ws).view(-1, ws * ws)
+    attn_mask = mw.unsqueeze(1) - mw.unsqueeze(2)
+    attn_mask = attn_mask.masked_fill(attn_mask != 0, float(-100.0)).masked_fill(
+        attn_mask == 0, float(0.0)
+    )
+    got = shifted_window_attention_mask(h, w, ws, shift)
+    np.testing.assert_allclose(got, attn_mask.numpy())
+
+
+def test_shift_mask_none_when_no_shift():
+    assert shifted_window_attention_mask(30, 40, 7, 0) is None
+
+
+def test_pad_to_window_multiple(rng):
+    x = jnp.asarray(rng.standard_normal((1, 15, 20, 4), dtype=np.float32))
+    padded, hp, wp = pad_to_window_multiple(x, 7)
+    assert (hp, wp) == (21, 21)
+    assert padded.shape == (1, 21, 21, 4)
+    np.testing.assert_allclose(np.asarray(padded[:, :15, :20]), np.asarray(x))
+    assert float(jnp.abs(padded[:, 15:]).sum()) == 0.0
+
+
+def torch_attention(q, k, v, bias, mask=None):
+    """Reference attention math (src/SAM.py:118-141) on pre-projected heads."""
+    attn = q @ k.transpose(-2, -1) + bias.unsqueeze(0)
+    if mask is not None:
+        bw, heads, n, _ = q.shape
+        nw = mask.shape[0]
+        attn = attn.view(bw // nw, nw, heads, n, n) + mask.unsqueeze(1).unsqueeze(0)
+        attn = attn.view(-1, heads, n, n)
+    attn = torch.softmax(attn, dim=-1)
+    return attn @ v
+
+
+@pytest.mark.parametrize("with_mask", [False, True])
+def test_xla_attention_matches_torch(rng, with_mask):
+    bw, heads, n, d = 12, 4, 49, 8
+    q = rng.standard_normal((bw, heads, n, d), dtype=np.float32)
+    k = rng.standard_normal((bw, heads, n, d), dtype=np.float32)
+    v = rng.standard_normal((bw, heads, n, d), dtype=np.float32)
+    bias = rng.standard_normal((heads, n, n), dtype=np.float32)
+    mask = None
+    tmask = None
+    if with_mask:
+        mask = (rng.random((6, n, n)) > 0.5).astype(np.float32) * -100.0
+        tmask = torch.from_numpy(mask)
+    want = torch_attention(
+        torch.from_numpy(q), torch.from_numpy(k), torch.from_numpy(v),
+        torch.from_numpy(bias), tmask,
+    ).numpy()
+    got = np.asarray(
+        window_cross_attention_xla(
+            jnp.asarray(q), jnp.asarray(k), jnp.asarray(v), jnp.asarray(bias),
+            jnp.asarray(mask) if mask is not None else None,
+        )
+    )
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+
+
+@pytest.mark.parametrize("with_mask", [False, True])
+def test_pallas_attention_matches_xla(rng, with_mask):
+    bw, heads, n, d = 16, 2, 49, 16
+    q = jnp.asarray(rng.standard_normal((bw, heads, n, d), dtype=np.float32))
+    k = jnp.asarray(rng.standard_normal((bw, heads, n, d), dtype=np.float32))
+    v = jnp.asarray(rng.standard_normal((bw, heads, n, d), dtype=np.float32))
+    bias = jnp.asarray(rng.standard_normal((heads, n, n), dtype=np.float32))
+    mask = (
+        jnp.asarray((rng.random((8, n, n)) > 0.5).astype(np.float32) * -100.0)
+        if with_mask
+        else None
+    )
+    want = np.asarray(window_cross_attention_xla(q, k, v, bias, mask))
+    got = np.asarray(window_attention_pallas(q, k, v, bias, mask, interpret=True))
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)

@@ -1,0 +1,87 @@
+"""Windowed multi-head cross-attention compute core.
+
+This is the hot op of the SAM / NewCRF decoders: thousands of independent
+7x7=49-token windows per image, each running a tiny MHA
+(``src/SAM.py:111-144``, ``src/newcrf_layers.py:110-149``). The windows never
+communicate — they batch perfectly over (batch x windows), which is exactly
+how the XLA path and the Pallas kernel lay them out.
+
+Two implementations with identical numerics:
+
+- ``window_cross_attention`` — pure XLA einsum path (batched onto the MXU by
+  the compiler). Reference implementation, always available.
+- :mod:`tpudepth.ops.pallas.window_attn` — fused Pallas kernel that keeps
+  scores/softmax in VMEM; selected via ``use_pallas=True`` on TPU backends.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+
+def window_cross_attention(
+    q: jax.Array,
+    k: jax.Array,
+    v: jax.Array,
+    bias: jax.Array,
+    mask: Optional[jax.Array] = None,
+    *,
+    use_pallas: Optional[bool] = None,
+) -> jax.Array:
+    """Attention over independent windows.
+
+    Args:
+      q: [BW, heads, N, D] queries, already scaled by D**-0.5.
+      k: [BW, heads, N, D] keys.
+      v: [BW, heads, N, D] values.
+      bias: [heads, N, N] relative-position bias (broadcast over windows).
+      mask: optional [nW, N, N] additive shift mask; BW must be a multiple of
+        nW and windows are laid out [B, nW]-major, matching the reference's
+        ``attn.view(B_//nW, nW, heads, N, N) + mask`` (``src/SAM.py:131-134``).
+
+    Returns: [BW, heads, N, D] attention output.
+    """
+    if use_pallas is None:
+        use_pallas = jax.default_backend() == "tpu"
+    if use_pallas:
+        try:
+            from tpudepth.ops.pallas.window_attn import window_attention_pallas
+
+            return window_attention_pallas(q, k, v, bias, mask)
+        except NotImplementedError:
+            pass
+    return window_cross_attention_xla(q, k, v, bias, mask)
+
+
+def window_cross_attention_xla(
+    q: jax.Array,
+    k: jax.Array,
+    v: jax.Array,
+    bias: jax.Array,
+    mask: Optional[jax.Array] = None,
+) -> jax.Array:
+    bw, heads, n, d = q.shape
+    qf = q.astype(jnp.float32)
+    kf = k.astype(jnp.float32)
+    # HIGHEST keeps true-f32 MXU passes so this path is a golden reference on
+    # TPU too (default TPU precision would round the operands to bf16).
+    attn = jnp.einsum(
+        "bhnd,bhmd->bhnm", qf, kf,
+        preferred_element_type=jnp.float32, precision=jax.lax.Precision.HIGHEST,
+    )
+    attn = attn + bias[None].astype(jnp.float32)
+    if mask is not None:
+        nw = mask.shape[0]
+        attn = attn.reshape(bw // nw, nw, heads, n, n) + mask[None, :, None].astype(
+            jnp.float32
+        )
+        attn = attn.reshape(bw, heads, n, n)
+    attn = jax.nn.softmax(attn, axis=-1)
+    out = jnp.einsum(
+        "bhnm,bhmd->bhnd", attn, v.astype(jnp.float32),
+        preferred_element_type=jnp.float32, precision=jax.lax.Precision.HIGHEST,
+    )
+    return out.astype(q.dtype)

@@ -1,0 +1,166 @@
+"""Fused windowed-attention Pallas TPU kernel.
+
+Computes softmax(q @ k^T + bias [+ shift-mask]) @ v for thousands of
+independent 7x7(=49-token) windows in one pass, keeping the [N, N] score
+matrices in VMEM instead of round-tripping them through HBM the way the
+unfused XLA path must (two dots with a softmax between them cannot fuse).
+
+The op is embarrassingly parallel over (batch x windows x heads) — window
+attention in this model family is strictly local (``src/SAM.py:214-229``),
+so the grid simply tiles the leading window axis. Numerics match
+``tpudepth.ops.attention.window_cross_attention_xla`` (f32 accumulation).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+# Mosaic's tpu.matmul supports at most ONE batch dimension, so (tile, heads)
+# is flattened into a single batch axis before the dots and unflattened only
+# for the per-head bias / per-window mask adds.
+#
+# Dots run in the INPUT dtype: bf16 inputs take the native single-pass MXU
+# path; f32 inputs use HIGHEST so Mosaic doesn't silently round the operands
+# to bf16. Accumulation and softmax are always f32.
+
+
+def _scores(q, k):
+    # q, k: [TH, N, D] -> [TH, N, N] f32
+    prec = None if q.dtype == jnp.bfloat16 else jax.lax.Precision.HIGHEST
+    return jax.lax.dot_general(
+        q,
+        k,
+        dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+        precision=prec,
+    )
+
+
+def _apply(p, v):
+    # p: [TH, N, N] (input dtype), v: [TH, N, D] -> [TH, N, D] f32
+    prec = None if v.dtype == jnp.bfloat16 else jax.lax.Precision.HIGHEST
+    return jax.lax.dot_general(
+        p,
+        v,
+        dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+        precision=prec,
+    )
+
+
+def _softmax(s):
+    s = s - jnp.max(s, axis=-1, keepdims=True)
+    e = jnp.exp(s)
+    return e / jnp.sum(e, axis=-1, keepdims=True)
+
+
+def _attn_kernel(q_ref, k_ref, v_ref, bias_ref, out_ref):
+    # q/k/v: [T, heads, N, D]; bias: [heads, N, N]
+    t, heads, n, d = q_ref.shape
+    dt = q_ref.dtype
+    q = q_ref[:].reshape(t * heads, n, d)
+    k = k_ref[:].reshape(t * heads, n, d)
+    v = v_ref[:].reshape(t * heads, n, d)
+    s = _scores(q, k).reshape(t, heads, n, n)
+    s = s + bias_ref[:].astype(jnp.float32)[None]
+    p = _softmax(s).reshape(t * heads, n, n).astype(dt)
+    o = _apply(p, v)
+    out_ref[:] = o.reshape(t, heads, n, d).astype(out_ref.dtype)
+
+
+def _attn_kernel_masked(q_ref, k_ref, v_ref, bias_ref, mask_ref, out_ref):
+    t, heads, n, d = q_ref.shape
+    dt = q_ref.dtype
+    q = q_ref[:].reshape(t * heads, n, d)
+    k = k_ref[:].reshape(t * heads, n, d)
+    v = v_ref[:].reshape(t * heads, n, d)
+    s = _scores(q, k).reshape(t, heads, n, n)
+    s = s + bias_ref[:].astype(jnp.float32)[None]
+    s = s + mask_ref[:].astype(jnp.float32)[:, None]  # [T, 1, N, N]
+    p = _softmax(s).reshape(t * heads, n, n).astype(dt)
+    o = _apply(p, v)
+    out_ref[:] = o.reshape(t, heads, n, d).astype(out_ref.dtype)
+
+
+def _pick_tile(bw: int, nw: int, heads: int) -> int:
+    """Largest window tile that divides bw (and nw when masked) subject to a
+    VMEM budget: Mosaic pads [N, D] windows to (56, 128) lane tiles, so cap
+    tile * heads so the q/k/v/score blocks stay well under the ~16 MB VMEM."""
+    cap = max(1, 64 // heads)
+    for t in (16, 8, 4, 2, 1):
+        if t > cap:
+            continue
+        if bw % t == 0 and (nw % t == 0 if nw else True):
+            return t
+    return 1
+
+
+def window_attention_pallas(
+    q: jax.Array,
+    k: jax.Array,
+    v: jax.Array,
+    bias: jax.Array,
+    mask: Optional[jax.Array] = None,
+    *,
+    interpret: bool = False,
+) -> jax.Array:
+    """Fused attention over independent windows.
+
+    Args mirror :func:`tpudepth.ops.attention.window_cross_attention_xla`:
+      q, k, v: [BW, heads, N, D] (q pre-scaled); bias: [heads, N, N];
+      mask: optional [nW, N, N] additive shift mask, BW % nW == 0.
+    """
+    bw, heads, n, d = q.shape
+    nw = mask.shape[0] if mask is not None else 0
+    t = _pick_tile(bw, nw, heads)
+    grid = (bw // t,)
+
+    qkv_spec = pl.BlockSpec(
+        (t, heads, n, d), lambda i: (i, 0, 0, 0), memory_space=pltpu.VMEM
+    )
+    bias_spec = pl.BlockSpec(
+        (heads, n, n), lambda i: (0, 0, 0), memory_space=pltpu.VMEM
+    )
+    out_spec = pl.BlockSpec(
+        (t, heads, n, d), lambda i: (i, 0, 0, 0), memory_space=pltpu.VMEM
+    )
+    out_shape = jax.ShapeDtypeStruct((bw, heads, n, d), q.dtype)
+    flops = 4 * bw * heads * n * n * d
+    bytes_accessed = (3 * bw * heads * n * d + bw * heads * n * d) * q.dtype.itemsize
+    cost = pl.CostEstimate(
+        flops=flops, bytes_accessed=bytes_accessed, transcendentals=bw * heads * n * n
+    )
+
+    if mask is None:
+        return pl.pallas_call(
+            _attn_kernel,
+            out_shape=out_shape,
+            grid=grid,
+            in_specs=[qkv_spec, qkv_spec, qkv_spec, bias_spec],
+            out_specs=out_spec,
+            cost_estimate=cost,
+            interpret=interpret,
+        )(q, k, v, bias)
+
+    # Windows are laid out [B, nW]-major, so window-tile i covers mask rows
+    # (i*t) % nW ... consecutively (t divides nW by construction).
+    nblocks = nw // t
+    mask_spec = pl.BlockSpec(
+        (t, n, n), lambda i: (i % nblocks, 0, 0), memory_space=pltpu.VMEM
+    )
+    return pl.pallas_call(
+        _attn_kernel_masked,
+        out_shape=out_shape,
+        grid=grid,
+        in_specs=[qkv_spec, qkv_spec, qkv_spec, bias_spec, mask_spec],
+        out_specs=out_spec,
+        cost_estimate=cost,
+        interpret=interpret,
+    )(q, k, v, bias, mask)
