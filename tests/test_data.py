@@ -1,0 +1,122 @@
+"""Data pipeline tests: zip layout parity, shuffle parity with sklearn,
+decode semantics, loader sharding, device augmentation."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from tpudepth.data import (
+    DataLoader,
+    NYUDepthDataset,
+    get_training_testing_data,
+    load_zip_to_mem,
+    make_synthetic_zip,
+)
+from tpudepth.data.augment import augment_batch
+from tpudepth.data.nyu import reference_shuffle
+
+
+@pytest.fixture(scope="module")
+def synth_zip(tmp_path_factory):
+    p = tmp_path_factory.mktemp("data") / "synth.zip"
+    return make_synthetic_zip(str(p), n_train=10, n_test=4, image_hw=(48, 64))
+
+
+def test_reference_shuffle_matches_sklearn():
+    from sklearn.utils import shuffle as sk_shuffle
+
+    items = [[f"rgb{i}", f"d{i}"] for i in range(137)]
+    assert reference_shuffle(items, 0) == sk_shuffle(items, random_state=0)
+
+
+def test_load_zip_layout(synth_zip):
+    data, train, test = load_zip_to_mem(synth_zip)
+    assert len(train) == 10 and len(test) == 4
+    assert all(len(p) == 2 for p in train)
+    assert train[0][0] in data and train[0][1] in data
+
+
+def test_decode_semantics(synth_zip):
+    data, train, _ = load_zip_to_mem(synth_zip)
+    ds = NYUDepthDataset(data, train)
+    img, dep = ds.get(0)
+    assert img.shape == (48, 64, 3) and img.dtype == np.float32
+    assert dep.shape == (48, 64, 1)
+    assert 0.0 <= img.min() and img.max() <= 1.0
+    assert 0.0 <= dep.min() and dep.max() <= 1.0  # 8-bit depth /255
+
+
+def test_uint16_depth_not_divided(tmp_path):
+    p = make_synthetic_zip(
+        str(tmp_path / "u16.zip"), n_train=2, n_test=1, image_hw=(32, 32), depth_mode="I;16"
+    )
+    data, train, _ = load_zip_to_mem(p)
+    ds = NYUDepthDataset(data, train)
+    _, dep = ds.get(0)
+    assert dep.max() > 10.0  # raw uint16 values preserved (src/data.py:135-138)
+
+
+def test_loader_batching_and_shuffle(synth_zip):
+    data, train, _ = load_zip_to_mem(synth_zip)
+    ds = NYUDepthDataset(data, train)
+    loader = DataLoader(ds, batch_size=4, shuffle=True, seed=0)
+    assert len(loader) == 2
+    batches = list(loader)
+    assert batches[0]["image"].shape == (4, 48, 64, 3)
+    assert batches[0]["depth"].shape == (4, 48, 64, 1)
+    # deterministic per epoch
+    again = list(loader)
+    np.testing.assert_array_equal(batches[0]["image"], again[0]["image"])
+    loader.set_epoch(1)
+    third = list(loader)
+    assert not np.array_equal(batches[0]["image"], third[0]["image"])
+
+
+def test_dataset_host_sharding(synth_zip):
+    data, train, _ = load_zip_to_mem(synth_zip)
+    s0 = NYUDepthDataset(data, train, shard=0, num_shards=2)
+    s1 = NYUDepthDataset(data, train, shard=1, num_shards=2)
+    assert len(s0) == 5 and len(s1) == 5
+    names0 = {p[0] for p in s0.pairs}
+    names1 = {p[0] for p in s1.pairs}
+    assert not names0 & names1
+
+
+def test_get_training_testing_data(synth_zip):
+    train_loader, test_loader = get_training_testing_data(2, synth_zip)
+    b = next(iter(train_loader))
+    assert b["image"].shape[0] == 2
+    assert len(test_loader) == 2
+
+
+def test_augment_flip_and_swap_semantics():
+    rng = jax.random.PRNGKey(0)
+    b, h, w = 64, 4, 6
+    img = jnp.asarray(np.random.default_rng(0).random((b, h, w, 3), dtype=np.float32))
+    dep = jnp.asarray(np.random.default_rng(1).random((b, h, w, 1), dtype=np.float32))
+    aug_img, aug_dep = jax.jit(augment_batch)(rng, img, dep)
+    img_n, dep_n = np.asarray(img), np.asarray(dep)
+    a_img, a_dep = np.asarray(aug_img), np.asarray(aug_dep)
+
+    n_flipped = 0
+    for i in range(b):
+        flipped = np.array_equal(a_dep[i], dep_n[i, :, ::-1])
+        same = np.array_equal(a_dep[i], dep_n[i])
+        assert flipped or same  # depth only ever flips
+        n_flipped += int(flipped and not same)
+        base = img_n[i, :, ::-1] if (flipped and not same) else img_n[i]
+        # image must be a channel permutation of (possibly flipped) original
+        perms = [base[..., list(p)] for p in
+                 [(0, 1, 2), (0, 2, 1), (1, 0, 2), (1, 2, 0), (2, 0, 1), (2, 1, 0)]]
+        assert any(np.allclose(a_img[i], p) for p in perms)
+    assert 10 < n_flipped < 54  # ~half flip
+
+
+def test_augment_identity_shapes():
+    rng = jax.random.PRNGKey(1)
+    img = jnp.zeros((2, 8, 8, 3))
+    dep = jnp.zeros((2, 8, 8, 1))
+    ai, ad = augment_batch(rng, img, dep)
+    assert ai.shape == img.shape and ad.shape == dep.shape

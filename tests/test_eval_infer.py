@@ -1,0 +1,106 @@
+"""Evaluator protocols + inference engine end-to-end on synthetic data."""
+
+import os
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from tpudepth.core.config import EvalConfig
+from tpudepth.data import get_training_testing_data, make_synthetic_zip
+from tpudepth.eval.evaluator import AlhashimEvaluator, RootEvaluator
+from tpudepth.eval.metrics import METRIC_NAMES
+
+
+@pytest.fixture(scope="module")
+def synth_zip(tmp_path_factory):
+    p = tmp_path_factory.mktemp("data") / "synth.zip"
+    # full res 64x64 with matching depth
+    return make_synthetic_zip(str(p), n_train=4, n_test=4, image_hw=(64, 64))
+
+
+def _oracle_forward(image):
+    """A 'model' that predicts depth from the synthetic generator's formula —
+    near-perfect metrics expected."""
+    # synthetic depth = 0.3 + 0.6*(x/w)*(y/h) + U(0,0.05); image R=x/w, G=y/h
+    r = image[..., 0:1]
+    g = image[..., 1:2]
+    return 0.3 + 0.6 * r * g + 0.025
+
+
+def test_root_evaluator_oracle_scores_well(synth_zip):
+    _, test_loader = get_training_testing_data(2, synth_zip)
+    cfg = EvalConfig(min_depth_eval=1e-3, max_depth_eval=80)
+
+    def forward(image):
+        # gt is min-max normalized; the oracle approximates depth, normalize it too
+        from tpudepth.losses import depth_norm_minmax
+
+        return depth_norm_minmax(_oracle_forward(image))
+
+    ev = RootEvaluator(forward, cfg)
+    metrics = ev.evaluate(test_loader)
+    assert set(metrics) == set(METRIC_NAMES)
+    assert metrics["d1"] > 0.5, metrics
+    assert metrics["rms"] < 0.3, metrics
+    report = RootEvaluator.format_report(metrics, 4)
+    assert "silog" in report
+
+
+def test_alhashim_evaluator_runs_and_writes_results(synth_zip, tmp_path):
+    _, test_loader = get_training_testing_data(1, synth_zip)
+    cfg = EvalConfig(dataset="nyu_reduced", resolution="mini", eval_mode="alhashim")
+
+    def forward(image):
+        # model outputs inverse-normalized depth; oracle in meters -> inverse
+        meters = _oracle_forward(image) * 10.0
+        return 10.0 / jnp.clip(meters, 0.1, 10.0)
+
+    ev = AlhashimEvaluator(forward, cfg)
+    # 64x64 gt: the fixed NYU crop [20,460,24,616] clips to image bounds
+    # via numpy slicing semantics; evaluate on the valid region
+    avg = ev.evaluate(test_loader, save_results_to=str(tmp_path))
+    assert np.isfinite(avg.rmse)
+    assert (tmp_path / "results.txt").exists()
+    txt = (tmp_path / "results.txt").read_text()
+    assert txt.startswith("RMSE,MAE,REL")
+    assert avg.delta1 > 0.5
+
+
+def test_inference_engine_speedtest_and_serialize(tmp_path):
+    from tpudepth.infer.engine import InferenceEngine
+    from tpudepth.models import build_model
+
+    model = build_model("GuideDepth-S")
+    x = np.zeros((1, 64, 64, 3), np.float32)
+    variables = model.init(jax.random.PRNGKey(0), jnp.asarray(x), train=False)
+    engine = InferenceEngine(model, variables, (1, 64, 64, 3), compute_dtype=jnp.float32)
+    out = engine(x)
+    assert out.shape == (1, 64, 64, 1)
+    stats = engine.benchmark(num_test_runs=3, warm_up_runs=1)
+    assert stats["fps"] > 0
+
+    path = str(tmp_path / "engine.bin")
+    engine.serialize(path)
+    assert os.path.getsize(path) > 0
+    restored = InferenceEngine.deserialize(path)
+    out2 = restored(x)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(out2), atol=1e-5)
+
+
+def test_flip_tta_engine_is_flip_invariant():
+    from tpudepth.infer.engine import InferenceEngine
+    from tpudepth.models import build_model
+
+    model = build_model("GuideDepth-S")
+    rng = np.random.default_rng(0)
+    x = rng.random((1, 64, 64, 3)).astype(np.float32)
+    variables = model.init(jax.random.PRNGKey(0), jnp.asarray(x), train=False)
+    engine = InferenceEngine(
+        model, variables, (1, 64, 64, 3), compute_dtype=jnp.float32, flip_tta=True
+    )
+    y = np.asarray(engine(x))
+    y_flip = np.asarray(engine(x[:, :, ::-1]))
+    np.testing.assert_allclose(y, y_flip[:, :, ::-1], atol=1e-5)

@@ -1,0 +1,130 @@
+"""Trainer: DP invariance (1 vs N devices), loss decrease, StepLR, freezing."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from tpudepth.core.config import TrainConfig
+from tpudepth.core.mesh import batch_sharding, create_mesh, replicated
+from tpudepth.models import build_model
+from tpudepth.train.trainer import (
+    LossRecipe,
+    Trainer,
+    TrainState,
+    depth_norm,
+    freeze_encoder_mask,
+    inverse_depth_norm,
+    make_optimizer,
+    make_train_step,
+    step_lr,
+)
+
+
+def _tiny_setup(mesh, batch=8, hw=(32, 32), model_name="unet_interp"):
+    model = build_model(model_name)
+    rng = np.random.default_rng(0)
+    image = rng.random((batch, *hw, 3), dtype=np.float32)
+    depth = rng.random((batch, *hw, 1), dtype=np.float32) * 0.9 + 0.05
+    variables = model.init(jax.random.PRNGKey(0), jnp.asarray(image[:1]), train=False)
+    cfg = TrainConfig(batch_size=batch, compute_dtype="float32")
+    tx = make_optimizer(cfg, steps_per_epoch=10)
+    state = TrainState(
+        step=jnp.zeros((), jnp.int32),
+        params=variables["params"],
+        batch_stats=variables.get("batch_stats", {}),
+        opt_state=tx.init(variables["params"]),
+        tx=tx,
+        apply_fn=model.apply,
+    )
+    state = jax.device_put(state, replicated(mesh))
+    recipe = LossRecipe(kind="root")
+    step = make_train_step(model, recipe, compute_dtype=jnp.float32, augment=False)
+    return model, state, step, image, depth
+
+
+def test_dp_loss_invariant_1_vs_8_devices():
+    """Same batch, same init: loss after one step must match between a
+    1-device and an 8-device data-sharded mesh (SURVEY.md §4)."""
+    losses = {}
+    for ndev in (1, 8):
+        mesh = create_mesh(num_data=ndev)
+        model, state, step, image, depth = _tiny_setup(mesh)
+        sharding = batch_sharding(mesh)
+        img = jax.device_put(jnp.asarray(image), sharding)
+        dep = jax.device_put(jnp.asarray(depth), sharding)
+        new_state, loss = step(state, img, dep, jax.random.PRNGKey(0))
+        losses[ndev] = float(loss)
+    assert abs(losses[1] - losses[8]) < 1e-5, losses
+
+
+def test_loss_decreases_on_fixed_batch():
+    mesh = create_mesh(num_data=8)
+    model, state, step, image, depth = _tiny_setup(mesh)
+    sharding = batch_sharding(mesh)
+    img = jax.device_put(jnp.asarray(image), sharding)
+    dep = jax.device_put(jnp.asarray(depth), sharding)
+    first = None
+    for i in range(8):
+        state, loss = step(state, img, dep, jax.random.PRNGKey(i))
+        if first is None:
+            first = float(loss)
+    assert float(loss) < first, (first, float(loss))
+
+
+def test_step_lr_schedule():
+    sched = step_lr(1e-4, step_size_epochs=15, gamma=0.1, steps_per_epoch=100)
+    assert sched(0) == pytest.approx(1e-4)
+    assert sched(14 * 100 + 99) == pytest.approx(1e-4)
+    assert sched(15 * 100) == pytest.approx(1e-5)
+    assert sched(30 * 100) == pytest.approx(1e-6)
+
+
+def test_freeze_encoder_mask_marks_encoder():
+    model = build_model("unet_interp")
+    variables = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 32, 32, 3)), train=False)
+    mask = freeze_encoder_mask(variables["params"])
+    flat = jax.tree_util.tree_flatten_with_path(mask)[0]
+    enc = [v for p, v in flat if p[0].key == "encoder"]
+    dec = [v for p, v in flat if p[0].key != "encoder"]
+    assert all(v == "frozen" for v in enc) and enc
+    assert all(v == "train" for v in dec) and dec
+
+
+def test_frozen_encoder_params_do_not_update():
+    mesh = create_mesh(num_data=1)
+    model = build_model("unet_interp")
+    rng = np.random.default_rng(0)
+    image = rng.random((2, 32, 32, 3), dtype=np.float32)
+    depth = rng.random((2, 32, 32, 1), dtype=np.float32) * 0.9 + 0.05
+    variables = model.init(jax.random.PRNGKey(0), jnp.asarray(image[:1]), train=False)
+    cfg = TrainConfig(compute_dtype="float32")
+    mask = freeze_encoder_mask(variables["params"])
+    tx = make_optimizer(cfg, 10, frozen_mask=mask)
+    state = TrainState(
+        step=jnp.zeros((), jnp.int32),
+        params=variables["params"],
+        batch_stats=variables.get("batch_stats", {}),
+        opt_state=tx.init(variables["params"]),
+        tx=tx,
+        apply_fn=model.apply,
+    )
+    step = make_train_step(model, LossRecipe("root"), jnp.float32, augment=False)
+    before_enc = jax.tree_util.tree_leaves(state.params["encoder"])[0].copy()
+    before_dec = jax.tree_util.tree_leaves(state.params["bridge"])[0].copy()
+    state, _ = step(state, jnp.asarray(image), jnp.asarray(depth), jax.random.PRNGKey(0))
+    after_enc = jax.tree_util.tree_leaves(state.params["encoder"])[0]
+    after_dec = jax.tree_util.tree_leaves(state.params["bridge"])[0]
+    np.testing.assert_array_equal(np.asarray(before_enc), np.asarray(after_enc))
+    assert not np.array_equal(np.asarray(before_dec), np.asarray(after_dec))
+
+
+def test_depth_norm_roundtrip_semantics():
+    d = jnp.asarray([[0.0, 0.05, 5.0, 9.0, 20.0]])
+    dn = depth_norm(d, 10.0)
+    np.testing.assert_allclose(
+        np.asarray(dn), [[0.0, 100.0, 2.0, 10.0 / 9.0, 1.0]], rtol=1e-6
+    )
+    inv = inverse_depth_norm(jnp.asarray([[0.0, 100.0, 2.0, 1.0]]), 10.0)
+    np.testing.assert_allclose(np.asarray(inv), [[0.0, 0.1, 5.0, 10.0]], rtol=1e-6)

@@ -1,0 +1,241 @@
+"""NYU-Depth-V2 (Alhashim 50K layout) zip-in-memory data pipeline.
+
+Capability parity with ``src/data.py``, rebuilt for TPU feeding:
+
+- The whole zip is read into a ``{name: bytes}`` dict up front
+  (``src/data.py:48-53``) — the 4.1 GB NYU zip fits host RAM and removes all
+  disk I/O from the steady state.
+- Pair lists come from ``data/nyu2_train.csv`` / ``data/nyu2_test.csv``
+  (``src/data.py:54-55``) and are shuffled deterministically with the exact
+  ``sklearn.utils.shuffle(random_state=0)`` permutation (``src/data.py:69-71``)
+  — replicated via ``np.random.RandomState(0).permutation`` (verified
+  identical in tests).
+- Decode semantics of ``ToTensor.to_tensor`` (``src/data.py:124-155``):
+  8-bit images -> float/255; mode 'I' (int32) and 'I;16' (uint16) depth maps
+  keep raw values (no /255).
+- Unlike the reference's per-sample, 0-worker DataLoader (``src/data.py:179``),
+  batches are decoded by a thread pool and transferred to device
+  asynchronously with double-buffering; flip/channel-swap augmentation is
+  applied *on device* inside the jitted train step
+  (:mod:`tpudepth.data.augment`) so the host only ever decodes.
+- ``shard`` / ``num_shards`` slice the pair list per host for multi-host DP
+  (new capability; the reference is single-process).
+"""
+
+from __future__ import annotations
+
+import io
+import threading
+import zipfile
+from concurrent.futures import ThreadPoolExecutor
+from typing import Dict, Iterator, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+try:
+    from PIL import Image
+except ImportError:  # pragma: no cover
+    Image = None
+
+
+def reference_shuffle(items: List, seed: int = 0) -> List:
+    """The ``sklearn.utils.shuffle(x, random_state=seed)`` permutation without
+    the sklearn dependency (parity asserted in tests)."""
+    perm = np.random.RandomState(seed).permutation(len(items))
+    return [items[i] for i in perm]
+
+
+def load_zip_to_mem(
+    zip_path: str, csv_name: str = "data/nyu2_train.csv", test_csv: str = "data/nyu2_test.csv"
+) -> Tuple[Dict[str, bytes], List[List[str]], List[List[str]]]:
+    """Read the whole zip into memory and parse the train/test pair CSVs."""
+    with zipfile.ZipFile(zip_path) as zf:
+        data = {name: zf.read(name) for name in zf.namelist()}
+    train = [
+        row.split(",")
+        for row in data[csv_name].decode("utf-8").split("\n")
+        if len(row) > 0
+    ]
+    test = [
+        row.split(",")
+        for row in data[test_csv].decode("utf-8").split("\n")
+        if len(row) > 0
+    ]
+    train = reference_shuffle(train, 0)
+    test = reference_shuffle(test, 0)
+    return data, train, test
+
+
+def _decode(buf: bytes) -> np.ndarray:
+    """PIL decode with reference ToTensor dtype semantics
+    (``src/data.py:124-155``)."""
+    img = Image.open(io.BytesIO(buf))
+    mode = img.mode
+    arr = np.asarray(img)
+    if mode in ("I", "I;16"):
+        out = arr.astype(np.float32)
+    else:
+        out = arr.astype(np.float32) / 255.0
+    if out.ndim == 2:
+        out = out[:, :, None]
+    return out
+
+
+class NYUDepthDataset:
+    """In-memory (rgb, depth) pair dataset (``depthDatasetMemory``,
+    ``src/data.py:77-98``) with threaded batch decode."""
+
+    def __init__(
+        self,
+        data: Dict[str, bytes],
+        pairs: Sequence[Sequence[str]],
+        shard: int = 0,
+        num_shards: int = 1,
+        decode_workers: int = 8,
+        use_native: bool = True,
+    ):
+        if num_shards > 1:
+            pairs = list(pairs)[shard::num_shards]
+        self.data = data
+        self.pairs = list(pairs)
+        self._pool = ThreadPoolExecutor(max_workers=decode_workers)
+        self._native_shapes = None  # ((h,w,c), (h,w,c)) for (rgb, depth)
+        if use_native and self.pairs:
+            self._probe_native()
+
+    def _probe_native(self):
+        """Learn the dataset's (uniform) image dims so batches can decode
+        through the C++ multithreaded decoder (tpudepth/data/native)."""
+        try:
+            from tpudepth.data import native
+
+            rgb = native.probe(self.data[self.pairs[0][0]])
+            dep = native.probe(self.data[self.pairs[0][1]])
+            if rgb and dep:
+                self._native_shapes = (rgb[:3], dep[:3])
+        except Exception:
+            self._native_shapes = None
+
+    def __len__(self) -> int:
+        return len(self.pairs)
+
+    def get(self, idx: int) -> Tuple[np.ndarray, np.ndarray]:
+        rgb_name, depth_name = self.pairs[idx][0], self.pairs[idx][1]
+        return _decode(self.data[rgb_name]), _decode(self.data[depth_name])
+
+    def get_batch(self, indices: Sequence[int]) -> Dict[str, np.ndarray]:
+        if self._native_shapes is not None:
+            from tpudepth.data import native
+
+            (ih, iw, ic), (dh, dw, dc) = self._native_shapes
+            rgb_bufs = [self.data[self.pairs[i][0]] for i in indices]
+            dep_bufs = [self.data[self.pairs[i][1]] for i in indices]
+            images = native.decode_batch(rgb_bufs, ih, iw, ic)
+            depths = native.decode_batch(dep_bufs, dh, dw, dc)
+            if images is not None and depths is not None:
+                return {"image": images, "depth": depths}
+        outs = list(self._pool.map(self.get, indices))
+        images = np.stack([o[0] for o in outs])
+        depths = np.stack([o[1] for o in outs])
+        return {"image": images, "depth": depths}
+
+
+class DataLoader:
+    """Batched iterator with optional shuffling and device prefetch.
+
+    TPU-first: while batch N is on device computing, batch N+1 is being
+    decoded on host threads and batch N's transfer overlaps via
+    ``jax.device_put`` async dispatch.
+    """
+
+    def __init__(
+        self,
+        dataset: NYUDepthDataset,
+        batch_size: int,
+        shuffle: bool = False,
+        seed: int = 0,
+        drop_last: bool = True,
+        sharding=None,
+        prefetch: int = 2,
+    ):
+        self.dataset = dataset
+        self.batch_size = batch_size
+        self.shuffle = shuffle
+        self.seed = seed
+        self.drop_last = drop_last
+        self.sharding = sharding
+        self.prefetch = max(1, prefetch)
+        self._epoch = 0
+
+    def __len__(self) -> int:
+        n = len(self.dataset)
+        if self.drop_last:
+            return n // self.batch_size
+        return (n + self.batch_size - 1) // self.batch_size
+
+    def set_epoch(self, epoch: int):
+        self._epoch = epoch
+
+    def _batch_indices(self) -> List[np.ndarray]:
+        n = len(self.dataset)
+        idx = np.arange(n)
+        if self.shuffle:
+            rng = np.random.RandomState(self.seed + self._epoch)
+            rng.shuffle(idx)
+        nb = len(self)
+        return [idx[i * self.batch_size : (i + 1) * self.batch_size] for i in range(nb)]
+
+    def __iter__(self) -> Iterator[Dict[str, np.ndarray]]:
+        import jax
+
+        batches = self._batch_indices()
+        pool = ThreadPoolExecutor(max_workers=self.prefetch)
+        futures = []
+        n_ahead = min(self.prefetch, len(batches))
+        for b in batches[:n_ahead]:
+            futures.append(pool.submit(self.dataset.get_batch, b))
+        for i, _ in enumerate(batches):
+            batch = futures[i].result()
+            nxt = i + n_ahead
+            if nxt < len(batches):
+                futures.append(pool.submit(self.dataset.get_batch, batches[nxt]))
+            if self.sharding is not None:
+                batch = {
+                    k: jax.device_put(v, self.sharding) for k, v in batch.items()
+                }
+            yield batch
+        pool.shutdown(wait=False)
+
+
+def get_training_testing_data(
+    batch_size: int,
+    zip_path: str = "CSVdata.zip",
+    sharding=None,
+    shard: int = 0,
+    num_shards: int = 1,
+) -> Tuple[DataLoader, DataLoader]:
+    """``getTrainingTestingData`` parity (``src/data.py:171-179``): train
+    loader shuffled, test loader in csv order."""
+    data, train_pairs, test_pairs = load_zip_to_mem(zip_path)
+    train = NYUDepthDataset(data, train_pairs, shard, num_shards)
+    test = NYUDepthDataset(data, test_pairs)
+    return (
+        DataLoader(train, batch_size, shuffle=True, sharding=sharding),
+        DataLoader(test, batch_size, shuffle=False, drop_last=False, sharding=sharding),
+    )
+
+
+def get_testing_data(
+    batch_size: int, zip_path: str = "testData.zip", sharding=None
+) -> DataLoader:
+    """``getTestingData`` parity (``src/data.py:203-206``)."""
+    with zipfile.ZipFile(zip_path) as zf:
+        data = {name: zf.read(name) for name in zf.namelist()}
+    pairs = [
+        row.split(",")
+        for row in data["data/nyu2_test.csv"].decode("utf-8").split("\n")
+        if len(row) > 0
+    ]
+    pairs = reference_shuffle(pairs, 0)
+    ds = NYUDepthDataset(data, pairs)
+    return DataLoader(ds, batch_size, shuffle=True, drop_last=False, sharding=sharding)

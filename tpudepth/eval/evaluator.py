@@ -1,0 +1,174 @@
+"""Evaluation drivers for both reference protocols.
+
+- :class:`RootEvaluator` — ``src/test.py:84-198``: per-batch min-max DepthNorm
+  ground truth, prediction clamped to [min_depth_eval, max_depth_eval] with
+  inf/nan scrubbing (``:105-108``), validity mask AND fractional Garg/Eigen
+  crop (``:110-123``), 9-metric ``compute_errors`` accumulated over batches.
+- :class:`AlhashimEvaluator` — ``src/GuideDepth/evaluate.py:81-157``: flip-TTA
+  (the flipped image is evaluated as an extra sample), model runs at reduced
+  resolution and predictions are upscaled to GT resolution (``:95-116``),
+  fixed Eigen crop [20,460,24,616] for NYU / fractional crop for KITTI
+  (``:118-132``), FastDepth Result/AverageMeter metrics, results.txt output
+  (``:159-171``).
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from typing import Callable, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from tpudepth.core.config import EvalConfig, garg_crop, kitti_alhashim_crop
+from tpudepth.eval.metrics import METRIC_NAMES, AverageMeter, Result, compute_errors
+from tpudepth.losses import depth_norm_minmax
+from tpudepth.ops.image import resize_bilinear
+from tpudepth.train.trainer import inverse_depth_norm
+
+
+class RootEvaluator:
+    """``src/test.py`` protocol over a forward fn(image_nhwc)->depth_nhwc."""
+
+    def __init__(self, forward: Callable, config: EvalConfig):
+        self.forward = forward
+        self.config = config
+
+    def evaluate(self, loader, progress: bool = False) -> Dict[str, float]:
+        cfg = self.config
+        measures = np.zeros(10, dtype=np.float64)
+        for i, batch in enumerate(loader):
+            image = jnp.asarray(batch["image"])
+            depth = jnp.asarray(batch["depth"])
+            gt = np.asarray(depth_norm_minmax(depth)).squeeze(-1)
+            pred = np.asarray(self.forward(image)).squeeze(-1)
+            if pred.shape != gt.shape:
+                pred = np.asarray(
+                    resize_bilinear(
+                        jnp.asarray(pred)[..., None], gt.shape[-2:]
+                    )
+                ).squeeze(-1)
+
+            pred = pred.copy()
+            pred[pred < cfg.min_depth_eval] = cfg.min_depth_eval
+            pred[pred > cfg.max_depth_eval] = cfg.max_depth_eval
+            pred[np.isinf(pred)] = cfg.max_depth_eval
+            pred[np.isnan(pred)] = cfg.min_depth_eval
+
+            mask = np.logical_and(gt > cfg.min_depth_eval, gt < cfg.max_depth_eval)
+            h, w = gt.shape[1], gt.shape[2]
+            crop = garg_crop(h, w)
+            crop_mask = np.zeros_like(mask)
+            crop_mask[:, crop[0] : crop[1], crop[2] : crop[3]] = True
+            mask = np.logical_and(mask, crop_mask)
+
+            m = compute_errors(gt[mask], pred[mask])
+            measures[:9] += np.asarray(m)
+            measures[9] += 1
+            if progress and i % 5 == 0:
+                print(f"Step: [{i}/{len(loader)}]")
+        measures[:9] /= measures[9]
+        return dict(zip(METRIC_NAMES, measures[:9].tolist()))
+
+    @staticmethod
+    def format_report(metrics: Dict[str, float], count: int) -> str:
+        """The reference's eval printout layout (``src/test.py:192-198``)."""
+        header = ", ".join(f"{n:>7}" for n in METRIC_NAMES)
+        values = ", ".join(f"{metrics[n]:7.4f}" for n in METRIC_NAMES)
+        return (
+            f"Computing errors for {count} eval samples\n{header}\n{values}"
+        )
+
+
+class AlhashimEvaluator:
+    """``src/GuideDepth/evaluate.py`` Evaluater protocol."""
+
+    def __init__(
+        self,
+        forward: Callable,
+        config: EvalConfig,
+        depth_scale: Optional[float] = None,
+    ):
+        self.forward = forward
+        self.config = config
+        # loader depth in [0,1] (8-bit) -> meters
+        self.depth_scale = depth_scale if depth_scale is not None else config.max_depth
+
+    def evaluate(self, loader, save_results_to: Optional[str] = None) -> Result:
+        cfg = self.config
+        meter = AverageMeter()
+        max_depth = cfg.max_depth
+        crop = list(cfg.crop)
+
+        for i, batch in enumerate(loader):
+            t0 = time.time()
+            image = jnp.asarray(batch["image"])
+            gt = np.asarray(batch["depth"]) * self.depth_scale  # meters
+            image_flip = jnp.flip(image, axis=2)
+            gt_flip = gt[:, :, ::-1]
+
+            if cfg.eval_mode == "alhashim":
+                image = resize_bilinear(image, cfg.image_size)
+                image_flip = resize_bilinear(image_flip, cfg.image_size)
+            data_time = time.time() - t0
+
+            t0 = time.time()
+            inv_pred = self.forward(image)
+            pred = np.asarray(inverse_depth_norm(inv_pred, max_depth))
+            inv_pred_flip = self.forward(image_flip)
+            pred_flip = np.asarray(inverse_depth_norm(inv_pred_flip, max_depth))
+            gpu_time = time.time() - t0
+
+            if cfg.eval_mode == "alhashim":
+                gt_hw = gt.shape[1:3]
+                pred = np.asarray(resize_bilinear(jnp.asarray(pred), gt_hw))
+                pred_flip = np.asarray(resize_bilinear(jnp.asarray(pred_flip), gt_hw))
+                if cfg.dataset == "kitti":
+                    crop = list(kitti_alhashim_crop(*gt_hw))
+                gt_c = gt[:, crop[0] : crop[1], crop[2] : crop[3]]
+                gt_flip_c = gt_flip[:, crop[0] : crop[1], crop[2] : crop[3]]
+                pred_c = pred[:, crop[0] : crop[1], crop[2] : crop[3]]
+                pred_flip_c = pred_flip[:, crop[0] : crop[1], crop[2] : crop[3]]
+            else:
+                gt_c, gt_flip_c, pred_c, pred_flip_c = gt, gt_flip, pred, pred_flip
+
+            r = Result()
+            r.evaluate(pred_c, gt_c)
+            meter.update(r, gpu_time, data_time, image.shape[0])
+            r2 = Result()
+            r2.evaluate(pred_flip_c, gt_flip_c)
+            meter.update(r2, gpu_time, data_time, image.shape[0])
+
+        avg = meter.average()
+        if save_results_to:
+            self.save_results(avg, save_results_to)
+        return avg
+
+    @staticmethod
+    def save_results(average: Result, result_dir: str):
+        """results.txt format parity (``src/GuideDepth/evaluate.py:159-171``)."""
+        os.makedirs(result_dir, exist_ok=True)
+        with open(os.path.join(result_dir, "results.txt"), "w") as f:
+            f.write("RMSE,MAE,REL, RMSE_log,Lg10,Delta1,Delta2,Delta3\n")
+            f.write(
+                f"{average.rmse:.3f},{average.mae:.3f},{average.absrel:.3f}"
+                f",{average.rmse_log:.3f},{average.lg10:.3f},{average.delta1:.3f}"
+                f",{average.delta2:.3f},{average.delta3:.3f}"
+            )
+
+    @staticmethod
+    def format_report(avg: Result) -> str:
+        """Console report parity (``src/GuideDepth/evaluate.py:148-157``)."""
+        return (
+            "\n*\n"
+            f"RMSE={avg.rmse:.3f}\n"
+            f"MAE={avg.mae:.3f}\n"
+            f"Delta1={avg.delta1:.3f}\n"
+            f"Delta2={avg.delta2:.3f}\n"
+            f"Delta3={avg.delta3:.3f}\n"
+            f"REL={avg.absrel:.3f}\n"
+            f"Lg10={avg.lg10:.3f}\n"
+            f"t_GPU={avg.gpu_time:.3f}\n"
+        )

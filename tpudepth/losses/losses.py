@@ -67,13 +67,12 @@ ssim_avgpool_loss = ssim
 
 
 @functools.lru_cache(maxsize=None)
-def _gaussian_window(window_size: int, sigma: float = 1.5) -> np.ndarray:
+def _gaussian_1d(window_size: int, sigma: float = 1.5) -> np.ndarray:
     g = np.array(
         [math.exp(-((i - window_size // 2) ** 2) / (2.0 * sigma**2)) for i in range(window_size)],
         dtype=np.float32,
     )
-    g = g / g.sum()
-    return np.outer(g, g).astype(np.float32)  # [ws, ws]
+    return (g / g.sum()).astype(np.float32)
 
 
 def ssim_gaussian(
@@ -84,23 +83,29 @@ def ssim_gaussian(
 ) -> jax.Array:
     """Gaussian-window SSIM *similarity* (not loss), Alhashim/GuideDepth
     variant (``src/GuideDepth/losses.py:41-79``): depthwise conv with an 11x11
-    gaussian, padding ws//2, returns mean of the SSIM map."""
+    gaussian, padding ws//2, returns mean of the SSIM map.
+
+    TPU note: the 2-D gaussian is separable, so the depthwise conv runs as
+    two 1-D convs — same numerics (the reference builds its 2-D window as an
+    outer product, ``src/GuideDepth/losses.py:118-122``), far cheaper to
+    compile and run than the 11x11 grouped conv."""
     l = val_range
     _, h, w, c = img1.shape
     real_size = min(window_size, h, w)
-    win = jnp.asarray(_gaussian_window(real_size))
+    g1d = jnp.asarray(_gaussian_1d(real_size))
     padd = window_size // 2
 
     def gconv(x):
-        # depthwise conv: same gaussian for every channel
-        kernel = jnp.tile(win[:, :, None, None], (1, 1, 1, c))  # HWIO, feature_group=c
+        x = x.astype(jnp.float32)
+        kh = jnp.tile(g1d[:, None, None, None], (1, 1, 1, c))  # [ws,1,1,c]
+        kw = jnp.tile(g1d[None, :, None, None], (1, 1, 1, c))  # [1,ws,1,c]
+        x = jax.lax.conv_general_dilated(
+            x, kh, (1, 1), [(padd, padd), (0, 0)],
+            dimension_numbers=("NHWC", "HWIO", "NHWC"), feature_group_count=c,
+        )
         return jax.lax.conv_general_dilated(
-            x.astype(jnp.float32),
-            kernel,
-            window_strides=(1, 1),
-            padding=[(padd, padd), (padd, padd)],
-            dimension_numbers=("NHWC", "HWIO", "NHWC"),
-            feature_group_count=c,
+            x, kw, (1, 1), [(0, 0), (padd, padd)],
+            dimension_numbers=("NHWC", "HWIO", "NHWC"), feature_group_count=c,
         )
 
     mu1 = gconv(img1)
