@@ -45,7 +45,8 @@ def main():
     image = rng.random((bs, h, w, 3)).astype(np.float32)
     depth = (rng.random((bs, h, w, 1)) * 0.9 + 0.05).astype(np.float32)
 
-    variables = model.init(jax.random.PRNGKey(0), jnp.asarray(image[:1]), train=False)
+    from tpudepth.models.registry import init_model
+    variables = init_model(model, jax.random.PRNGKey(0), jnp.asarray(image[:1]))
     cfg = TrainConfig(model="GuideDepth")
     tx = make_optimizer(cfg, steps_per_epoch=100)
     state = TrainState(

@@ -50,7 +50,8 @@ def main():
             variables["batch_stats"] = restored["batch_stats"]
     else:
         print(f"checkpoint {args.pt} not found; using random init")
-        variables = model.init(jax.random.PRNGKey(0), jnp.asarray(x), train=False)
+        from tpudepth.models.registry import init_model
+        variables = init_model(model, jax.random.PRNGKey(0), jnp.asarray(x))
 
     pred = model.apply(variables, jnp.asarray(x), train=False)
     pred = np.asarray(pred.astype(jnp.float32))[0, :, :, 0]

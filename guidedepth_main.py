@@ -160,9 +160,10 @@ def main():
                 variables["batch_stats"] = restored["batch_stats"]
         else:
             print("no weights_path; using random init")
-            variables = model.init(
-                jax.random.PRNGKey(0),
-                np.zeros((1, *config.image_size, 3), np.float32), train=False)
+            from tpudepth.models.registry import init_model
+            variables = init_model(
+                model, jax.random.PRNGKey(0),
+                np.zeros((1, *config.image_size, 3), np.float32))
 
         _, test_loader = get_training_testing_data(1, test_path)
 

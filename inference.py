@@ -75,8 +75,9 @@ def main():
             variables["batch_stats"] = restored["batch_stats"]
     else:
         print("no weights; random init")
-        variables = model.init(jax.random.PRNGKey(0),
-                               np.zeros((1, h, w, 3), np.float32), train=False)
+        from tpudepth.models.registry import init_model
+        variables = init_model(model, jax.random.PRNGKey(0),
+                               np.zeros((1, h, w, 3), np.float32))
 
     shape = (args.batch_size, h, w, 3)
     print(f"Building AOT bf16 engine for {shape} ...")

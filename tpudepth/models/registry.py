@@ -49,3 +49,14 @@ MODEL_NAMES = [
     "unet_interp",
     "unet_interp_small",
 ]
+
+
+def init_model(model, rng, sample, train: bool = False):
+    """Jitted model.init — eager init compiles each op separately through the
+    remote TPU compile helper (observed 400+s for the SAM model); one jitted
+    init compiles in a few seconds."""
+    import functools
+
+    import jax
+
+    return jax.jit(functools.partial(model.init, train=train))(rng, sample)

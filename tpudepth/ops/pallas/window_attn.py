@@ -93,10 +93,8 @@ def _pick_tile(bw: int, nw: int, heads: int) -> int:
     """Largest window tile that divides bw (and nw when masked) subject to a
     VMEM budget: Mosaic pads [N, D] windows to (56, 128) lane tiles, so cap
     tile * heads so the q/k/v/score blocks stay well under the ~16 MB VMEM."""
-    cap = max(1, 64 // heads)
-    for t in (16, 8, 4, 2, 1):
-        if t > cap:
-            continue
+    cap = max(1, min(16, 64 // heads))
+    for t in range(cap, 0, -1):
         if bw % t == 0 and (nw % t == 0 if nw else True):
             return t
     return 1

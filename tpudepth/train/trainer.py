@@ -247,7 +247,9 @@ class Trainer:
         cfg = self.config
         init_rng, self._rng = jax.random.split(self._rng)
         x = jnp.asarray(sample_image[:1])
-        variables = self.model.init(init_rng, x, train=False)
+        from tpudepth.models.registry import init_model
+
+        variables = init_model(self.model, init_rng, x)
         params = variables["params"]
         batch_stats = variables.get("batch_stats", FrozenDict())
 
