@@ -123,6 +123,14 @@ def main():
                 seen += 1
             print("{} - Average Training Loss: {:3.4f}".format(
                 time.strftime("%H:%M"), acc / max(seen, 1)))
+            avg = trainer.val_epoch(max_batches=args.steps_per_epoch or 0)
+            if avg is not None:
+                print("{} - Average Validation Loss: {:3.4f}".format(
+                    time.strftime("%H:%M"), trainer.val_losses[-1]))
+                print("\n*\nRMSE={a.rmse:.3f}\nMAE={a.mae:.3f}\n"
+                      "Delta1={a.delta1:.3f}\nDelta2={a.delta2:.3f}\n"
+                      "Delta3={a.delta3:.3f}\nREL={a.absrel:.3f}\n"
+                      "Lg10={a.lg10:.3f}\nt_GPU={a.gpu_time:.3f}\n".format(a=avg))
             # per-epoch checkpoint (src/GuideDepth/training.py:166-178)
             save_checkpoint(
                 os.path.join(os.path.abspath(args.save_checkpoint), f"checkpoint_{epoch}"),

@@ -85,16 +85,23 @@ class RootEvaluator:
 class AlhashimEvaluator:
     """``src/GuideDepth/evaluate.py`` Evaluater protocol."""
 
+    # reference's fixed sample-visualization indices (evaluate.py:73-79)
+    DEFAULT_VISUALIZE = tuple(
+        base + off for base in range(0, 700, 100) for off in range(6)
+    )
+
     def __init__(
         self,
         forward: Callable,
         config: EvalConfig,
         depth_scale: Optional[float] = None,
+        visualize_images: Tuple[int, ...] = (),
     ):
         self.forward = forward
         self.config = config
         # loader depth in [0,1] (8-bit) -> meters
         self.depth_scale = depth_scale if depth_scale is not None else config.max_depth
+        self.visualize_images = set(visualize_images)
 
     def evaluate(self, loader, save_results_to: Optional[str] = None) -> Result:
         cfg = self.config
@@ -127,6 +134,12 @@ class AlhashimEvaluator:
                 pred_flip = np.asarray(resize_bilinear(jnp.asarray(pred_flip), gt_hw))
                 if cfg.dataset == "kitti":
                     crop = list(kitti_alhashim_crop(*gt_hw))
+                if i in self.visualize_images and save_results_to:
+                    self.save_image_results(
+                        np.asarray(batch["image"]), gt[..., None] if gt.ndim == 3 else gt,
+                        pred[..., None] if pred.ndim == 3 else pred,
+                        i, save_results_to, cfg.max_depth,
+                    )
                 gt_c = gt[:, crop[0] : crop[1], crop[2] : crop[3]]
                 gt_flip_c = gt_flip[:, crop[0] : crop[1], crop[2] : crop[3]]
                 pred_c = pred[:, crop[0] : crop[1], crop[2] : crop[3]]
@@ -145,6 +158,40 @@ class AlhashimEvaluator:
         if save_results_to:
             self.save_results(avg, save_results_to)
         return avg
+
+    @staticmethod
+    def save_image_results(image, gt, prediction, image_id: int, result_dir: str,
+                           max_depth: float = 10.0):
+        """Save input / gt / prediction / error-map PNGs for one sample
+        (``src/GuideDepth/evaluate.py:198-245``). NHWC numpy inputs."""
+        import matplotlib
+
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+
+        os.makedirs(result_dir, exist_ok=True)
+        img = np.asarray(image)[0]
+        gt2d = np.asarray(gt)[0, :, :, 0]
+        pred2d = np.asarray(prediction)[0, :, :, 0]
+        error_map = gt2d - pred2d
+        valid = gt2d[gt2d != 0.0]
+        vmax = float(valid.max()) if valid.size else 1.0
+        vmin = float(valid.min()) if valid.size else 0.0
+
+        def save(fname, arr, **kw):
+            fig = plt.figure(frameon=False)
+            ax = plt.Axes(fig, [0.0, 0.0, 1.0, 1.0])
+            ax.set_axis_off()
+            fig.add_axes(ax)
+            ax.imshow(arr, **kw)
+            fig.savefig(os.path.join(result_dir, fname))
+            plt.close(fig)
+
+        save(f"image_{image_id}.png", np.clip(img, 0, 1))
+        save(f"errors_{image_id}.png", error_map, vmin=0.0, vmax=max_depth / 10.0,
+             cmap="Reds")
+        save(f"gt_{image_id}.png", gt2d, vmin=vmin, vmax=vmax, cmap="viridis")
+        save(f"depth_{image_id}.png", pred2d, vmin=vmin, vmax=vmax, cmap="viridis")
 
     @staticmethod
     def save_results(average: Result, result_dir: str):

@@ -300,6 +300,55 @@ class Trainer:
                 start = time.perf_counter()
         return total / max(count, 1)
 
+    def val_epoch(self, max_batches: int = 0):
+        """Validation loop parity (``src/GuideDepth/training.py:110-154``):
+        loss on normalized targets + FastDepth metrics on inverse-normalized
+        predictions vs meters."""
+        from tpudepth.eval.metrics import AverageMeter, Result
+        from tpudepth.utils.profiling import StepTimer
+
+        if self.val_loader is None:
+            return None
+        cfg = self.config
+        sharding = batch_sharding(self.mesh)
+        eval_step = make_eval_step(self.model, _dtype(cfg.compute_dtype))
+        meter = AverageMeter()
+        timer = StepTimer()
+        acc_loss, seen = 0.0, 0
+        for i, batch in enumerate(self.val_loader):
+            if max_batches and i >= max_batches:
+                break
+            image = jax.device_put(batch["image"], sharding)
+            depth = jnp.asarray(batch["depth"], jnp.float32)
+            timer.data_done()
+            inv_pred = eval_step(self.state.params, self.state.batch_stats, image)
+            pred_m = inverse_depth_norm(inv_pred, cfg.max_depth)
+            timer.step_done(sync_on=pred_m)
+            target = self.recipe.target(depth)
+            if inv_pred.shape[1:3] != target.shape[1:3]:
+                from tpudepth.ops.image import resize_bilinear
+
+                target = resize_bilinear(target, inv_pred.shape[1:3])
+            acc_loss += float(self.recipe.loss(inv_pred, target))
+            seen += 1
+            gt_m = np.asarray(depth) * self.recipe.depth_scale
+            pred_np = np.asarray(pred_m)
+            if pred_np.shape[1:3] != gt_m.shape[1:3]:
+                from tpudepth.ops.image import resize_bilinear
+
+                pred_np = np.asarray(
+                    resize_bilinear(jnp.asarray(pred_np), gt_m.shape[1:3])
+                )
+            valid = gt_m > 0
+            r = Result()
+            r.evaluate(np.clip(pred_np[valid], 1e-3, None), gt_m[valid])
+            t = timer.summary()
+            meter.update(r, t["compute_time_per_step"], t["data_time_per_step"],
+                         image.shape[0])
+        avg = meter.average()
+        self.val_losses.append(acc_loss / max(seen, 1))
+        return avg
+
     def fit(self, epochs: Optional[int] = None, log_fn=None, on_epoch_end=None):
         epochs = epochs or self.config.epochs
         if self.state is None:
