@@ -3,13 +3,21 @@
 
 Prints ONE JSON line {"metric", "value", "unit", "vs_baseline"}.
 
+Timing is a scan differential: the train step runs k1 and k2 times inside a
+single jitted ``lax.scan`` program, each followed by one real value fetch;
+device time/step = (T(k2) - T(k1)) / (k2 - k1). This removes BOTH the
+per-dispatch overhead and the device->host roundtrip — necessary on this
+environment because the axon tunnel's ``block_until_ready`` returns before
+remote execution finishes, which makes naive loop timing report dispatch
+cost only (observed 50x inflation).
+
 The reference repo publishes no numbers (BASELINE.md); the recorded baseline
-is the reference PyTorch GuideDepth implementation measured on this machine's
-CPU (the only hardware it can run on here): 0.174 train img/s (bs=4, fp32)
-and 2.41 inference FPS at 480x640 — see BASELINE.md. ``vs_baseline`` is
-tpudepth-TPU train img/s divided by that torch-CPU train img/s.
+is the reference PyTorch GuideDepth measured on this machine's CPU (the only
+hardware it runs on here): 0.174 train img/s (bs=4, fp32). ``vs_baseline`` =
+tpudepth img/s/chip / that number.
 """
 
+import functools
 import json
 import sys
 import time
@@ -28,13 +36,10 @@ def main():
 
     from tpudepth.core.config import TrainConfig
     from tpudepth.core.mesh import batch_sharding, create_mesh, replicated
+    from tpudepth.data.augment import augment_batch
     from tpudepth.models import build_model
-    from tpudepth.train.trainer import (
-        LossRecipe,
-        TrainState,
-        make_optimizer,
-        make_train_step,
-    )
+    from tpudepth.models.registry import init_model
+    from tpudepth.train.trainer import LossRecipe, TrainState, make_optimizer
 
     bs = int(sys.argv[1]) if len(sys.argv) > 1 else 16
     h, w = 480, 640
@@ -45,11 +50,10 @@ def main():
     image = rng.random((bs, h, w, 3)).astype(np.float32)
     depth = (rng.random((bs, h, w, 1)) * 0.9 + 0.05).astype(np.float32)
 
-    from tpudepth.models.registry import init_model
     variables = init_model(model, jax.random.PRNGKey(0), jnp.asarray(image[:1]))
     cfg = TrainConfig(model="GuideDepth")
     tx = make_optimizer(cfg, steps_per_epoch=100)
-    state = TrainState(
+    state0 = TrainState(
         step=jnp.zeros((), jnp.int32),
         params=variables["params"],
         batch_stats=variables.get("batch_stats", {}),
@@ -57,29 +61,49 @@ def main():
         tx=tx,
         apply_fn=model.apply,
     )
-    state = jax.device_put(state, replicated(mesh))
+    state0 = jax.device_put(state0, replicated(mesh))
     sharding = batch_sharding(mesh)
     img = jax.device_put(jnp.asarray(image), sharding)
     dep = jax.device_put(jnp.asarray(depth), sharding)
+    recipe = LossRecipe(kind="alhashim", max_depth=10.0, depth_scale=10.0)
 
-    step = make_train_step(
-        model,
-        LossRecipe(kind="alhashim", max_depth=10.0, depth_scale=10.0),
-        compute_dtype=jnp.bfloat16,
-    )
+    def one_step(state, key):
+        im, de = augment_batch(key, img, dep)
+        target = recipe.target(de.astype(jnp.float32))
+
+        def loss_fn(params):
+            v = {"params": params, "batch_stats": state.batch_stats}
+            pred, mut = model.apply(
+                v, im.astype(jnp.bfloat16), train=True, mutable=["batch_stats"]
+            )
+            return recipe.loss(pred.astype(jnp.float32), target), mut["batch_stats"]
+
+        (loss, stats), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
+        return state.apply_gradients(grads=grads, new_batch_stats=stats), loss
+
+    @functools.partial(jax.jit, static_argnames="k")
+    def run_k(state, key, k):
+        def body(carry, _):
+            st, ky = carry
+            ky, sub = jax.random.split(ky)
+            st, loss = one_step(st, sub)
+            return (st, ky), loss
+
+        (state, _), losses = jax.lax.scan(body, (state, key), None, length=k)
+        return state, losses[-1]
 
     key = jax.random.PRNGKey(0)
-    # warmup / compile
-    state, loss = step(state, img, dep, key)
-    jax.block_until_ready(loss)
-
-    n = 20
-    t0 = time.perf_counter()
-    for i in range(n):
-        state, loss = step(state, img, dep, key)
-    jax.block_until_ready(loss)
-    dt = (time.perf_counter() - t0) / n
-    img_per_s = bs / dt
+    k1, k2 = 2, 12
+    times = {}
+    for k in (k1, k2):
+        _, loss = run_k(state0, key, k)
+        float(loss)  # compile + settle
+        t0 = time.perf_counter()
+        _, loss = run_k(state0, key, k)
+        assert np.isfinite(float(loss))  # one real roundtrip
+        times[k] = time.perf_counter() - t0
+    step_time = (times[k2] - times[k1]) / (k2 - k1)
+    img_per_s = bs / step_time
     n_chips = len(jax.devices())
 
     print(

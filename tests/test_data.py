@@ -120,3 +120,19 @@ def test_augment_identity_shapes():
     dep = jnp.zeros((2, 8, 8, 1))
     ai, ad = augment_batch(rng, img, dep)
     assert ai.shape == img.shape and ad.shape == dep.shape
+
+
+def test_get_dataloader_facade(synth_zip):
+    """Call-site parity with the reference's missing datasets.get_dataloader
+    (src/GuideDepth/training.py:42-48)."""
+    from tpudepth.data.datasets import get_dataloader
+
+    train = get_dataloader("nyu_reduced", path=synth_zip, split="train",
+                           augmentation="alhashim", batch_size=2,
+                           resolution="half", workers=2)
+    val = get_dataloader("nyu_reduced", path=synth_zip, split="val",
+                         augmentation="alhashim", batch_size=2,
+                         resolution="half", workers=2)
+    b = next(iter(train))
+    assert b["image"].shape[0] == 2
+    assert len(val) >= 1

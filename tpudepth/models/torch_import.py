@@ -268,3 +268,109 @@ def convert_mobilenetv3(
         cna(f"{fe}/project", f"{tb}.{j}")
     cna("head", t(str(len(spec) + 1)))
     return b.variables()
+
+
+# ---------------------------------------------------------------------------
+# SAM / NewCRF attention models (root stack)
+# ---------------------------------------------------------------------------
+
+
+def _mnv3_encoder(b: _Builder, fprefix: str, tprefix: str, arch: str = "large"):
+    from tpudepth.models.mobilenetv3 import LARGE_SPEC, SMALL_SPEC
+
+    spec = LARGE_SPEC if arch == "large" else SMALL_SPEC
+    f = lambda p: f"{fprefix}/{p}" if fprefix else p
+    t = lambda p: f"{tprefix}.{p}" if tprefix else p
+
+    def cna(fpath, tpath):
+        b.conv(f"{fpath}/conv", f"{tpath}.0")
+        b.bn(f"{fpath}/bn", f"{tpath}.1")
+
+    cna(f("stem"), t("0"))
+    for i, (k, exp, out, se, act, s) in enumerate(spec):
+        fe = f(f"block{i + 1}")
+        tb = t(f"{i + 1}.block")
+        j = 0
+        if i != 0:
+            cna(f"{fe}/expand", f"{tb}.{j}")
+            j += 1
+        cna(f"{fe}/depthwise", f"{tb}.{j}")
+        j += 1
+        if se:
+            b.conv(f"{fe}/se/fc1", f"{tb}.{j}.fc1")
+            b.conv(f"{fe}/se/fc2", f"{tb}.{j}.fc2")
+            j += 1
+        cna(f"{fe}/project", f"{tb}.{j}")
+    cna(f("head"), t(str(len(spec) + 1)))
+
+
+def _sam_stage(b: _Builder, fpath: str, tpath: str, has_proj_e: bool, has_proj_q: bool):
+    """One SAM module (``src/SAM.py:247-308``). The reference's unused
+    ``self.proj`` conv (``:271``) is skipped."""
+    t = (lambda p: f"{tpath}.{p}") if tpath else (lambda p: p)
+    if has_proj_e:
+        b.conv(f"{fpath}/proj_e", t("proj_e"))
+    if has_proj_q:
+        b.conv(f"{fpath}/proj_q", t("proj_q"))
+    blk = f"{fpath}/sam_block"
+    tblk = t("sam_block")
+    b.layer_norm(f"{blk}/norm1", f"{tblk}.norm1")
+    b.layer_norm(f"{blk}/normv", f"{tblk}.normv")
+    b.raw(f"{blk}/attn/relative_position_bias_table",
+          f"{tblk}.attn.relative_position_bias_table")
+    b.used.add(f"{tblk}.attn.relative_position_index")  # buffer, rebuilt
+    b.dense(f"{blk}/attn/q", f"{tblk}.attn.q")
+    b.dense(f"{blk}/attn/kv", f"{tblk}.attn.kv")
+    b.dense(f"{blk}/attn/proj", f"{tblk}.attn.proj")
+    b.layer_norm(f"{blk}/norm2", f"{tblk}.norm2")
+    b.dense(f"{blk}/mlp/fc1", f"{tblk}.mlp.fc1")
+    b.dense(f"{blk}/mlp/fc2", f"{tblk}.mlp.fc2")
+    b.layer_norm(f"{fpath}/norm_sam", t("norm_sam"))
+
+
+def _newcrf_stage(b: _Builder, fpath: str, tpath: str, has_proj_x: bool,
+                  has_proj_v: bool, depth: int = 2):
+    """One NewCRF module (``src/newcrf_layers.py:367-433``)."""
+    t = (lambda p: f"{tpath}.{p}") if tpath else (lambda p: p)
+    if has_proj_x:
+        b.conv(f"{fpath}/proj_x", t("proj_x"))
+    if has_proj_v:
+        b.conv(f"{fpath}/proj_v", t("proj_v"))
+    for i in range(depth):
+        blk = f"{fpath}/block{i}"
+        tblk = t(f"crf_layer.blocks.{i}")
+        b.layer_norm(f"{blk}/norm1", f"{tblk}.norm1")
+        b.raw(f"{blk}/attn/relative_position_bias_table",
+              f"{tblk}.attn.relative_position_bias_table")
+        b.used.add(f"{tblk}.attn.relative_position_index")
+        b.dense(f"{blk}/attn/qk", f"{tblk}.attn.qk")
+        b.dense(f"{blk}/attn/proj", f"{tblk}.attn.proj")
+        b.layer_norm(f"{blk}/norm2", f"{tblk}.norm2")
+        b.dense(f"{blk}/mlp/fc1", f"{tblk}.mlp.fc1")
+        b.dense(f"{blk}/mlp/fc2", f"{tblk}.mlp.fc2")
+    b.layer_norm(f"{fpath}/norm_crf", t("norm_crf"))
+
+
+def convert_attention_model(
+    sd: Mapping[str, np.ndarray], variant: str = "sam"
+) -> Dict[str, Any]:
+    """Full SAM / NewCRF PTModel state_dict -> tpudepth variables.
+
+    Reference layout: ``Unet.0`` = Encoder (``original_model.features``),
+    ``Unet.1`` = Decoder {conv0, crf3..crf0, conv1}
+    (``src/model_mobileV3_large_SAM.py:184-193``). All four stages project
+    both inputs (input_dim != embed_dim != v_dim everywhere).
+    """
+    b = _Builder(sd)
+    _mnv3_encoder(b, "encoder", "Unet.0.original_model.features", "large")
+    b.conv("decoder/conv0", "Unet.1.conv0")
+    for i in range(4):
+        if variant == "sam":
+            _sam_stage(b, f"decoder/crf{i}", f"Unet.1.crf{i}", True, True)
+            # drop the unused 3x3 self.proj conv (src/SAM.py:271)
+            b.used.add(f"Unet.1.crf{i}.proj.weight")
+            b.used.add(f"Unet.1.crf{i}.proj.bias")
+        else:
+            _newcrf_stage(b, f"decoder/crf{i}", f"Unet.1.crf{i}", True, True)
+    b.conv("decoder/conv1", "Unet.1.conv1")
+    return b.variables()

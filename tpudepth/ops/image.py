@@ -35,34 +35,40 @@ from jax import lax
 
 
 @functools.lru_cache(maxsize=None)
-def _interp_matrix(
+def _interp_matrix(in_size: int, out_size: int, align_corners: bool) -> np.ndarray:
+    """Dense [out, in] two-tap interpolation matrix built from _interp_taps."""
+    lo, hi, frac = _interp_taps(in_size, out_size, align_corners)
+    m = np.zeros((out_size, in_size), dtype=np.float32)
+    for i in range(out_size):
+        m[i, lo[i]] += 1.0 - frac[i]
+        m[i, hi[i]] += frac[i]
+    return m
+
+
+@functools.lru_cache(maxsize=None)
+def _interp_taps(
     in_size: int, out_size: int, align_corners: bool
-) -> np.ndarray:
-    """Dense [out, in] bilinear interpolation matrix, torch semantics.
+) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Two-tap bilinear interpolation (lo indices, hi indices, hi fractions),
+    torch semantics.
 
     align_corners=True:  src = i * (in-1)/(out-1)
     align_corners=False: src = (i + 0.5) * in/out - 0.5, clamped to >= 0
     """
-    w = np.zeros((out_size, in_size), dtype=np.float32)
-    if out_size == 1:
-        # torch maps the single output pixel to src 0 for align_corners=True
-        # and to (0.5*in/out - 0.5) clamped for False.
-        if align_corners:
-            w[0, 0] = 1.0
-            return w
+    lo = np.zeros(out_size, dtype=np.int32)
+    hi = np.zeros(out_size, dtype=np.int32)
+    frac = np.zeros(out_size, dtype=np.float32)
     for i in range(out_size):
         if align_corners:
-            src = i * (in_size - 1) / max(out_size - 1, 1)
+            src = i * (in_size - 1) / max(out_size - 1, 1) if out_size > 1 else 0.0
         else:
             src = (i + 0.5) * in_size / out_size - 0.5
             src = max(src, 0.0)
-        lo = int(np.floor(src))
-        lo = min(lo, in_size - 1)
-        hi = min(lo + 1, in_size - 1)
-        frac = src - lo
-        w[i, lo] += 1.0 - frac
-        w[i, hi] += frac
-    return w
+        l = min(int(np.floor(src)), in_size - 1)
+        lo[i] = l
+        hi[i] = min(l + 1, in_size - 1)
+        frac[i] = src - l
+    return lo, hi, frac
 
 
 @functools.lru_cache(maxsize=None)
@@ -83,14 +89,26 @@ def resize_bilinear(
     b, h, w, c = x.shape
     if (h, w) == (h_out, w_out):
         return x
+    # Interpolation as dense-matrix contractions: the matrix has only two
+    # nonzeros per row, but the MXU runs the dense matmul faster than XLA's
+    # spatial-axis gathers (measured on v5e). Inputs keep their dtype: bf16
+    # activations take the single-pass MXU path; f32 uses HIGHEST so parity
+    # with torch holds to ~1e-4 (default would round operands to bf16).
     dtype = x.dtype
-    xf = x.astype(jnp.float32)
+    if dtype == jnp.bfloat16:
+        prec = None
+        xf = x
+    else:
+        prec = lax.Precision.HIGHEST
+        xf = x.astype(jnp.float32)
     if h != h_out:
-        mh = jnp.asarray(_interp_matrix(h, h_out, align_corners))
-        xf = jnp.einsum("oh,bhwc->bowc", mh, xf, precision=lax.Precision.HIGHEST)
+        mh = jnp.asarray(_interp_matrix(h, h_out, align_corners)).astype(xf.dtype)
+        xf = jnp.einsum("oh,bhwc->bowc", mh, xf, precision=prec,
+                        preferred_element_type=jnp.float32).astype(xf.dtype)
     if w != w_out:
-        mw = jnp.asarray(_interp_matrix(w, w_out, align_corners))
-        xf = jnp.einsum("ow,bhwc->bhoc", mw, xf, precision=lax.Precision.HIGHEST)
+        mw = jnp.asarray(_interp_matrix(w, w_out, align_corners)).astype(xf.dtype)
+        xf = jnp.einsum("ow,bhwc->bhoc", mw, xf, precision=prec,
+                        preferred_element_type=jnp.float32).astype(xf.dtype)
     return xf.astype(dtype)
 
 
