@@ -100,3 +100,21 @@ def test_image_gradients_matches_reference_semantics(rng):
     dx, dy = image_gradients(jnp.asarray(x))
     np.testing.assert_allclose(np.asarray(dx), nhwc(want_dx), atol=1e-6)
     np.testing.assert_allclose(np.asarray(dy), nhwc(want_dy), atol=1e-6)
+
+
+@pytest.mark.parametrize("in_hw", [(15, 20), (240, 320), (17, 23)])
+def test_upsample2x_fast_path_matches_torch(rng, in_hw):
+    """The shift-interleave 2x fast path must match torch bilinear exactly."""
+    x = rng.standard_normal((2, *in_hw, 5), dtype=np.float32)
+    out_hw = (in_hw[0] * 2, in_hw[1] * 2)
+    want = nhwc(F.interpolate(nchw(x), size=out_hw, mode="bilinear", align_corners=False))
+    got = np.asarray(resize_bilinear(jnp.asarray(x), out_hw, align_corners=False))
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+
+
+def test_nearest_strided_fast_path_matches_torch(rng):
+    x = rng.standard_normal((1, 48, 64, 3), dtype=np.float32)
+    for scale in (2, 4):
+        want = nhwc(F.interpolate(nchw(x), scale_factor=1 / scale, mode="nearest"))
+        got = np.asarray(resize_nearest(jnp.asarray(x), (48 // scale, 64 // scale)))
+        np.testing.assert_allclose(got, want)

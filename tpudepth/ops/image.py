@@ -79,6 +79,32 @@ def _nearest_index(in_size: int, out_size: int) -> np.ndarray:
     return np.minimum(idx, in_size - 1)
 
 
+def _upsample2x_axis(x: jax.Array, axis: int) -> jax.Array:
+    """Exact 2x bilinear upsample (align_corners=False) along one axis as
+    shift-weighted interleaving — pure elementwise VPU work, no matmul/gather
+    and no layout copies (the einsum form forced ~7 ms relayout copies per
+    full-res tensor on v5e).
+
+    out[2j]   = 0.25*x[j-1] + 0.75*x[j]   (edge-clamped)
+    out[2j+1] = 0.75*x[j]   + 0.25*x[j+1] (edge-clamped)
+    """
+    n = x.shape[axis]
+
+    def take(lo, hi):
+        idx = [slice(None)] * x.ndim
+        idx[axis] = slice(lo, hi)
+        return x[tuple(idx)]
+
+    prev = jnp.concatenate([take(0, 1), take(0, n - 1)], axis=axis)
+    nxt = jnp.concatenate([take(1, n), take(n - 1, n)], axis=axis)
+    even = 0.25 * prev + 0.75 * x
+    odd = 0.75 * x + 0.25 * nxt
+    stacked = jnp.stack([even, odd], axis=axis + 1)
+    shape = list(x.shape)
+    shape[axis] = 2 * n
+    return stacked.reshape(shape).astype(x.dtype)
+
+
 def resize_bilinear(
     x: jax.Array,
     size: Tuple[int, int],
@@ -89,6 +115,8 @@ def resize_bilinear(
     b, h, w, c = x.shape
     if (h, w) == (h_out, w_out):
         return x
+    if not align_corners and h_out == 2 * h and w_out == 2 * w:
+        return _upsample2x_axis(_upsample2x_axis(x, 1), 2)
     # Interpolation as dense-matrix contractions: the matrix has only two
     # nonzeros per row, but the MXU runs the dense matmul faster than XLA's
     # spatial-axis gathers (measured on v5e). Inputs keep their dtype: bf16
@@ -118,10 +146,18 @@ def resize_nearest(x: jax.Array, size: Tuple[int, int]) -> jax.Array:
     b, h, w, c = x.shape
     if (h, w) == (h_out, w_out):
         return x
+    # integer-stride downsample == strided slice (floor(i*k) = i*k), which is
+    # far cheaper than a gather on TPU
     if h != h_out:
-        x = jnp.take(x, jnp.asarray(_nearest_index(h, h_out)), axis=1)
+        if h % h_out == 0:
+            x = x[:, :: h // h_out]
+        else:
+            x = jnp.take(x, jnp.asarray(_nearest_index(h, h_out)), axis=1)
     if w != w_out:
-        x = jnp.take(x, jnp.asarray(_nearest_index(w, w_out)), axis=2)
+        if w % w_out == 0:
+            x = x[:, :, :: w // w_out]
+        else:
+            x = jnp.take(x, jnp.asarray(_nearest_index(w, w_out)), axis=2)
     return x
 
 
