@@ -11,8 +11,11 @@ Usage:
 import argparse
 import functools
 import json
+import os
 import sys
 import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def scan_step_time(run_k, carry0, key, k1=2, k2=10):
