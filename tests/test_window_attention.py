@@ -143,3 +143,36 @@ def test_pallas_attention_matches_xla(rng, with_mask):
     want = np.asarray(window_cross_attention_xla(q, k, v, bias, mask))
     got = np.asarray(window_attention_pallas(q, k, v, bias, mask, interpret=True))
     np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+
+
+@pytest.mark.parametrize("with_mask", [False, True])
+def test_pallas_attention_grads_match_xla(rng, with_mask):
+    """The custom VJP of the fused kernel must match autodiff of the XLA path
+    (this is what trains the SAM/NewCRF models on TPU)."""
+    from tpudepth.ops.pallas import window_attn as wa
+
+    bw, heads, n, d = 8, 2, 49, 8
+    q = jnp.asarray(rng.standard_normal((bw, heads, n, d), dtype=np.float32))
+    k = jnp.asarray(rng.standard_normal((bw, heads, n, d), dtype=np.float32))
+    v = jnp.asarray(rng.standard_normal((bw, heads, n, d), dtype=np.float32))
+    bias = jnp.asarray(rng.standard_normal((heads, n, n), dtype=np.float32))
+    mask = (
+        jnp.asarray((rng.random((4, n, n)) > 0.5).astype(np.float32) * -100.0)
+        if with_mask
+        else None
+    )
+
+    def loss_xla(q, k, v, bias):
+        return window_cross_attention_xla(q, k, v, bias, mask)
+
+    g = jnp.asarray(rng.standard_normal((bw, heads, n, d), dtype=np.float32))
+    # grads via the custom bwd
+    dq, dk, dv, dbias, dmask = wa._wa_bwd((q, k, v, bias, mask), g)
+    # grads via autodiff of the XLA path
+    _, vjp = jax.vjp(loss_xla, q, k, v, bias)
+    wq, wk, wv, wbias = vjp(g)
+    np.testing.assert_allclose(np.asarray(dq), np.asarray(wq), rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(dk), np.asarray(wk), rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(dv), np.asarray(wv), rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(dbias), np.asarray(wbias), rtol=1e-4, atol=1e-4)
+    assert dmask is None

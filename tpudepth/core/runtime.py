@@ -22,7 +22,12 @@ def enable_compilation_cache(path: str = None):
     caching across processes matters."""
     import jax
 
-    path = path or os.environ.get("TPUDEPTH_CACHE", "/root/.cache/tpudepth_jax")
+    if path is None:
+        base = os.environ.get("TPUDEPTH_CACHE", "/root/.cache/tpudepth_jax")
+        # separate caches per platform: CPU AOT artifacts embed machine
+        # features and may not be portable across executors
+        plat = os.environ.get("TPUDEPTH_PLATFORM", "tpu")
+        path = f"{base}_{plat}"
     try:
         os.makedirs(path, exist_ok=True)
         jax.config.update("jax_compilation_cache_dir", path)

@@ -47,12 +47,9 @@ def window_cross_attention(
     if use_pallas is None:
         use_pallas = jax.default_backend() == "tpu"
     if use_pallas:
-        try:
-            from tpudepth.ops.pallas.window_attn import window_attention_pallas
+        from tpudepth.ops.pallas.window_attn import window_attention
 
-            return window_attention_pallas(q, k, v, bias, mask)
-        except NotImplementedError:
-            pass
+        return window_attention(q, k, v, bias, mask)
     return window_cross_attention_xla(q, k, v, bias, mask)
 
 

@@ -162,3 +162,59 @@ def window_attention_pallas(
         cost_estimate=cost,
         interpret=interpret,
     )(q, k, v, bias, mask)
+
+
+# ---------------------------------------------------------------------------
+# Differentiable wrapper: fused Pallas forward + einsum backward.
+#
+# pallas_call has no automatic VJP, so training through the fused kernel
+# needs an explicit one. The backward recomputes the (cheap, window-local)
+# attention weights and produces dq/dk/dv/dbias with f32 einsums — exactly
+# what autodiff of the XLA reference path emits. The shift mask is a
+# constant (no gradient).
+# ---------------------------------------------------------------------------
+
+
+def _attn_reference_fwd(q, k, v, bias, mask):
+    qf, kf = q.astype(jnp.float32), k.astype(jnp.float32)
+    s = jnp.einsum("bhnd,bhmd->bhnm", qf, kf, preferred_element_type=jnp.float32,
+                   precision=jax.lax.Precision.HIGHEST)
+    s = s + bias[None].astype(jnp.float32)
+    if mask is not None:
+        bw, heads, n, _ = q.shape
+        nw = mask.shape[0]
+        s = s.reshape(bw // nw, nw, heads, n, n) + mask[None, :, None].astype(jnp.float32)
+        s = s.reshape(bw, heads, n, n)
+    return jax.nn.softmax(s, axis=-1)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=())
+def window_attention(q, k, v, bias, mask=None):
+    """Differentiable fused window attention (pallas fwd, einsum bwd)."""
+    return window_attention_pallas(q, k, v, bias, mask)
+
+
+def _wa_fwd(q, k, v, bias, mask):
+    out = window_attention_pallas(q, k, v, bias, mask)
+    return out, (q, k, v, bias, mask)
+
+
+def _wa_bwd(res, g):
+    q, k, v, bias, mask = res
+    gf = g.astype(jnp.float32)
+    vf = v.astype(jnp.float32)
+    p = _attn_reference_fwd(q, k, v, bias, mask)  # [BW, H, N, N] f32
+    dv = jnp.einsum("bhnm,bhnd->bhmd", p, gf, preferred_element_type=jnp.float32)
+    dp = jnp.einsum("bhnd,bhmd->bhnm", gf, vf, preferred_element_type=jnp.float32)
+    ds = p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True))
+    dq = jnp.einsum("bhnm,bhmd->bhnd", ds, k.astype(jnp.float32),
+                    preferred_element_type=jnp.float32)
+    dk = jnp.einsum("bhnm,bhnd->bhmd", ds, q.astype(jnp.float32),
+                    preferred_element_type=jnp.float32)
+    dbias = jnp.sum(ds, axis=0)  # broadcast over windows in fwd
+    dmask = None
+    return (dq.astype(q.dtype), dk.astype(k.dtype), dv.astype(v.dtype),
+            dbias.astype(bias.dtype), dmask)
+
+
+window_attention.defvjp(_wa_fwd, _wa_bwd)

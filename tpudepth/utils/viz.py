@@ -56,3 +56,25 @@ def hconcat_resize(img_list, interpolation=None):
         return np.concatenate(
             [np.asarray(img) for img in img_list if img.shape[0] == h_min], axis=1
         )
+
+
+def make_grid(batch_nhwc: np.ndarray, nrow: int = 6, normalize: bool = False) -> np.ndarray:
+    """CHW image grid from an NHWC batch (torchvision ``make_grid`` analogue
+    used by the root trainer's TensorBoard logging, ``src/train.py:170-183``)."""
+    import math as _math
+
+    x = np.asarray(batch_nhwc, dtype=np.float32)
+    if normalize:
+        lo, hi = x.min(), x.max()
+        x = (x - lo) / max(hi - lo, 1e-12)
+    b, h, w, c = x.shape
+    ncol = min(nrow, b)
+    nrows = _math.ceil(b / ncol)
+    pad = 2
+    grid = np.zeros((nrows * (h + pad) + pad, ncol * (w + pad) + pad, c), np.float32)
+    for i in range(b):
+        r, col = divmod(i, ncol)
+        y0 = r * (h + pad) + pad
+        x0 = col * (w + pad) + pad
+        grid[y0 : y0 + h, x0 : x0 + w] = x[i]
+    return grid.transpose(2, 0, 1)

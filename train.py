@@ -32,6 +32,32 @@ def _resolve_data(spec, n_train=32, n_test=8):
     )
 
 
+def log_progress(trainer, test_loader, writer, sharding, niter):
+    """TensorBoard image grids with the reference's tags
+    (``LogProgress``, src/train.py:160-190): Train.1.Image / Train.2.Depth at
+    step 0, Train.3.Ours / Train.3.Diff each call."""
+    import jax
+    import jax.numpy as jnp
+
+    from tpudepth.losses import depth_norm_minmax
+    from tpudepth.utils.viz import colorize, make_grid
+
+    sample = next(iter(test_loader))
+    img = jax.device_put(sample["image"], sharding)
+    depth = np.asarray(sample["depth"])
+    if niter == 0:
+        writer.add_image("Train.1.Image", make_grid(np.asarray(img), normalize=True), niter)
+        writer.add_image("Train.2.Depth", colorize(make_grid(depth)), niter)
+    pred = trainer.model.apply(
+        {"params": trainer.state.params, "batch_stats": trainer.state.batch_stats},
+        img.astype(jnp.bfloat16), train=False).astype(jnp.float32)
+    pred_n = np.asarray(depth_norm_minmax(pred))
+    writer.add_image("Train.3.Ours", colorize(make_grid(pred_n)), niter)
+    if pred_n.shape == depth.shape:
+        diff = np.abs(pred_n - depth)
+        writer.add_image("Train.3.Diff", colorize(make_grid(diff)), niter)
+
+
 def main():
     parser = argparse.ArgumentParser(
         description="High Quality Monocular Depth Estimation via Transfer Learning (TPU)"
@@ -147,22 +173,14 @@ def main():
                 )
                 if writer:
                     writer.add_scalar("Train/Loss", losses.val, niter)
+            if writer and loader_pos % 300 == 0:
+                print("Recording epoch`s intermediate results. %300")
+                log_progress(trainer, test_loader, writer, sharding, niter)
             end = time.time()
 
         if writer:
             writer.add_scalar("Train/Loss.avg", losses.avg, epoch)
-            # colorized sample images every epoch (src/train.py:160-190)
-            sample = next(iter(test_loader))
-            img = jax.device_put(sample["image"], sharding)
-            pred = trainer.model.apply(
-                {"params": trainer.state.params,
-                 "batch_stats": trainer.state.batch_stats},
-                img.astype(jnp.bfloat16), train=False).astype(jnp.float32)
-            from tpudepth.losses import depth_norm_minmax
-
-            pred_n = np.asarray(depth_norm_minmax(pred))
-            writer.add_image("Train.3.Ours",
-                             colorize(pred_n[0].transpose(2, 0, 1)), epoch)
+            log_progress(trainer, test_loader, writer, sharding, epoch)
 
         print("saving a checkpoint.")
         save_checkpoint(ckpt_path, {
