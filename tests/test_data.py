@@ -136,3 +136,25 @@ def test_get_dataloader_facade(synth_zip):
     b = next(iter(train))
     assert b["image"].shape[0] == 2
     assert len(val) >= 1
+
+
+def test_cache_decoded_roundtrip(synth_zip):
+    from tpudepth.data.nyu import NYUDepthDataset, load_zip_to_mem
+
+    data, train, _ = load_zip_to_mem(synth_zip)
+    ds = NYUDepthDataset(data, train, cache_decoded=True)
+    ds_plain = NYUDepthDataset(data, train)
+    b1 = ds.get_batch(range(4))     # populates the cache
+    b2 = ds.get_batch(range(4))     # served from cache
+    bp = ds_plain.get_batch(range(4))
+    np.testing.assert_allclose(b1["image"], bp["image"], atol=1e-6)
+    np.testing.assert_allclose(b2["image"], bp["image"], atol=1 / 254.0)
+    np.testing.assert_allclose(b2["depth"], bp["depth"], atol=1e-6)
+
+
+def test_cache_respects_budget(synth_zip):
+    from tpudepth.data.nyu import NYUDepthDataset, load_zip_to_mem
+
+    data, train, _ = load_zip_to_mem(synth_zip)
+    ds = NYUDepthDataset(data, train, cache_decoded=True, max_cache_gb=1e-9)
+    assert ds._cache is None  # falls back to streaming

@@ -93,6 +93,8 @@ class NYUDepthDataset:
         num_shards: int = 1,
         decode_workers: int = 8,
         use_native: bool = True,
+        cache_decoded: bool = False,
+        max_cache_gb: float = 48.0,
     ):
         if num_shards > 1:
             pairs = list(pairs)[shard::num_shards]
@@ -102,6 +104,17 @@ class NYUDepthDataset:
         self._native_shapes = None  # ((h,w,c), (h,w,c)) for (rgb, depth)
         if use_native and self.pairs:
             self._probe_native()
+        # Optional decode-once cache: at TPU train rates the per-epoch JPEG
+        # decode is the host bottleneck (PERF.md); images are stored uint8 /
+        # depth uint16-as-float scale, re-expanded per batch.
+        self._cache = None
+        if cache_decoded and self.pairs:
+            img0, dep0 = self.get(0)
+            bytes_per_sample = img0.size + dep0.size * 4
+            total_gb = bytes_per_sample * len(self.pairs) / 1e9
+            if total_gb <= max_cache_gb:
+                self._cache = {}
+            # else: silently fall back to streaming decode
 
     def _probe_native(self):
         """Learn the dataset's (uniform) image dims so batches can decode
@@ -120,10 +133,26 @@ class NYUDepthDataset:
         return len(self.pairs)
 
     def get(self, idx: int) -> Tuple[np.ndarray, np.ndarray]:
+        if self._cache is not None and idx in self._cache:
+            img_u8, dep = self._cache[idx]
+            return img_u8.astype(np.float32) / 255.0, dep.copy()
         rgb_name, depth_name = self.pairs[idx][0], self.pairs[idx][1]
-        return _decode(self.data[rgb_name]), _decode(self.data[depth_name])
+        img = _decode(self.data[rgb_name])
+        dep = _decode(self.data[depth_name])
+        if self._cache is not None:
+            self._cache[idx] = (
+                np.round(img * 255.0).astype(np.uint8),
+                dep.astype(np.float32),
+            )
+        return img, dep
 
     def get_batch(self, indices: Sequence[int]) -> Dict[str, np.ndarray]:
+        if self._cache is not None:
+            outs = list(self._pool.map(self.get, indices))
+            return {
+                "image": np.stack([o[0] for o in outs]),
+                "depth": np.stack([o[1] for o in outs]),
+            }
         if self._native_shapes is not None:
             from tpudepth.data import native
 
