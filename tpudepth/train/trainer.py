@@ -135,6 +135,16 @@ class LossRecipe:
                 total = total + self.silog_weight * silog_loss_variance(pred, target)
             return total
         if self.kind == "alhashim":
+            # fused single-pass pallas kernel when shapes fit VMEM and we're
+            # on TPU (numerics match the jnp path — tests/test_fused_loss.py)
+            if jax.default_backend() == "tpu":
+                from tpudepth.ops.pallas.fused_loss import (
+                    fused_depth_loss,
+                    fused_depth_loss_available,
+                )
+
+                if fused_depth_loss_available(pred.shape):
+                    return fused_depth_loss(pred, target, 0.1, 1.0, 1.0, self.max_depth)
             return DepthLoss(0.1, 1.0, 1.0, self.max_depth)(pred, target)
         return DepthLoss(1.0, 0.0, 0.0, self.max_depth)(pred, target)
 
