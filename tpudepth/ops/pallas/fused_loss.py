@@ -158,13 +158,141 @@ def _fdl_fwd(pred, target, alpha, beta, gamma, max_depth):
 
 
 def _fdl_bwd(alpha, beta, gamma, max_depth, res, g):
-    from tpudepth.losses import DepthLoss
-
     pred, target = res
-    dl = DepthLoss(alpha, beta, gamma, max_depth)
-    _, vjp = jax.vjp(lambda p: dl(p, target), pred)
-    (dpred,) = vjp(g)
-    return (dpred, None)
+    b, h, w, c = pred.shape
+    total = b * h * w
+    # recompute the (cheap) fused forward partials for the clip gate
+    partials = _fused_partials(pred, target, max_depth)
+    ssim_mean = jnp.sum(partials[:, 1]) / total
+    pre = (1.0 - ssim_mean) * 0.5
+    gate = jnp.where((pre > 0.0) & (pre < 1.0), 1.0, 0.0)
+    gf = g.astype(jnp.float32)
+    scales = jnp.stack(
+        [alpha * gf / total,
+         beta * gf * (-0.5) * gate / total,
+         gamma * gf / total]
+    ).reshape(1, 3)
+    dpred = _fused_bwd(pred, target, max_depth, scales)
+    return (dpred.reshape(pred.shape).astype(pred.dtype), None)
 
 
 fused_depth_loss.defvjp(_fdl_fwd, _fdl_bwd)
+
+
+# ---------------------------------------------------------------------------
+# Pallas backward: analytic dL/dpred in one fused pass.
+#
+# The SSIM adjoint uses the symmetry of the gaussian (adjoint of a symmetric
+# zero-pad SAME conv is itself): with
+#   N1 = 2*mu1*mu2 + c1, D1 = mu1^2 + mu2^2 + c1,
+#   s12 = e12 - mu1*mu2, s11 = e11 - mu1^2, s22 = e22 - mu2^2,
+#   N2 = 2*s12 + c2,     D2 = s11 + s22 + c2,   R = 1/(D1*D2), M = N1*N2*R
+# the per-pixel coefficient maps are
+#   Cmu1 = 2*mu2*R*(N2 - N1) - 2*mu1*M*(1/D1 - 1/D2)
+#   Ce11 = -M / D2
+#   Ce12 = 2*N1*R
+# and d(ssim_sum)/dp = g*(Cmu1) + g*(Ce11)*2p + g*(Ce12)*t.
+# ---------------------------------------------------------------------------
+
+
+def _make_bwd_kernel(c1: float, c2: float, h: int, w: int):
+    taps = _gauss_taps()
+    half = _WS // 2
+
+    def kernel(pred_ref, tgt_ref, scales_ref, dout_ref,
+               padh, padw, mu1, mu2, e11, e22, e12):
+        def gconv_into(dst, src):
+            padh[:] = jnp.zeros((h + 2 * half, w), jnp.float32)
+            padh[half : half + h, :] = src
+            acc = taps[0] * padh[0:h, :]
+            for t in range(1, _WS):
+                acc = acc + taps[t] * padh[t : t + h, :]
+            padw[:] = jnp.zeros((h, w + 2 * half), jnp.float32)
+            padw[:, half : half + w] = acc
+            acc = taps[0] * padw[:, 0:w]
+            for t in range(1, _WS):
+                acc = acc + taps[t] * padw[:, t : t + w]
+            dst[:] = acc
+
+        p = pred_ref[0].astype(jnp.float32)
+        t = tgt_ref[0].astype(jnp.float32)
+        s_l1 = scales_ref[0, 0]
+        s_ssim = scales_ref[0, 1]
+        s_grad = scales_ref[0, 2]
+
+        # L1 term
+        d = s_l1 * jnp.sign(p - t)
+
+        # gradient-loss term: q = (t-diff) - (p-diff); dgx/dp[j] = sx[j] - sx[j-1]
+        sx = jnp.sign((t[:, 1:] - t[:, :-1]) - (p[:, 1:] - p[:, :-1]))  # [h, w-1]
+        zcol = jnp.zeros((h, 1), jnp.float32)
+        d = d + s_grad * (
+            jnp.concatenate([sx, zcol], axis=1) - jnp.concatenate([zcol, sx], axis=1)
+        )
+        sy = jnp.sign((t[1:, :] - t[:-1, :]) - (p[1:, :] - p[:-1, :]))  # [h-1, w]
+        zrow = jnp.zeros((1, w), jnp.float32)
+        d = d + s_grad * (
+            jnp.concatenate([sy, zrow], axis=0) - jnp.concatenate([zrow, sy], axis=0)
+        )
+
+        # SSIM term
+        gconv_into(mu1, p)
+        gconv_into(mu2, t)
+        gconv_into(e11, p * p)
+        gconv_into(e22, t * t)
+        gconv_into(e12, p * t)
+        m1 = mu1[:]
+        m2 = mu2[:]
+        n1 = 2.0 * m1 * m2 + c1
+        d1 = m1 * m1 + m2 * m2 + c1
+        s12 = e12[:] - m1 * m2
+        s11 = e11[:] - m1 * m1
+        s22 = e22[:] - m2 * m2
+        n2 = 2.0 * s12 + c2
+        d2 = s11 + s22 + c2
+        r = 1.0 / (d1 * d2)
+        m = n1 * n2 * r
+        cmu1 = 2.0 * m2 * r * (n2 - n1) - 2.0 * m1 * m * (1.0 / d1 - 1.0 / d2)
+        ce11 = -m / d2
+        ce12 = 2.0 * n1 * r
+        # reuse scratch for the adjoint convs
+        gconv_into(mu1, cmu1)
+        gconv_into(e11, ce11)
+        gconv_into(e12, ce12)
+        d = d + s_ssim * (mu1[:] + e11[:] * 2.0 * p + e12[:] * t)
+
+        dout_ref[0] = d
+
+    return kernel
+
+
+def _fused_bwd(pred, target, val_range, scales):
+    b, h, w = pred.shape[0], pred.shape[1], pred.shape[2]
+    c1 = (0.01 * val_range) ** 2
+    c2 = (0.03 * val_range) ** 2
+    half = _WS // 2
+    kernel = _make_bwd_kernel(c1, c2, h, w)
+    return pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((b, h, w), jnp.float32),
+        grid=(b,),
+        in_specs=[
+            pl.BlockSpec((1, h, w), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, h, w), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 3), lambda i: (0, 0), memory_space=pltpu.SMEM),
+        ],
+        out_specs=pl.BlockSpec((1, h, w), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((h + 2 * half, w), jnp.float32),
+            pltpu.VMEM((h, w + 2 * half), jnp.float32),
+            pltpu.VMEM((h, w), jnp.float32),
+            pltpu.VMEM((h, w), jnp.float32),
+            pltpu.VMEM((h, w), jnp.float32),
+            pltpu.VMEM((h, w), jnp.float32),
+            pltpu.VMEM((h, w), jnp.float32),
+        ],
+    )(
+        pred.astype(jnp.float32).reshape(b, h, w),
+        target.astype(jnp.float32).reshape(b, h, w),
+        scales,
+    )
