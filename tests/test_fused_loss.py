@@ -59,6 +59,8 @@ def test_fused_grad_matches_reference(pair):
 def test_availability_guard():
     assert fused_depth_loss_available((8, 240, 320, 1))
     assert fused_depth_loss_available((8, 192, 640, 1))
-    assert not fused_depth_loss_available((8, 480, 640, 1))  # VMEM budget
+    assert fused_depth_loss_available((8, 480, 640, 1))
+    assert fused_depth_loss_available((8, 384, 1280, 1))
+    assert not fused_depth_loss_available((8, 1024, 1280, 1))  # VMEM budget
     assert not fused_depth_loss_available((8, 8, 8, 1))  # window too big
     assert not fused_depth_loss_available((8, 240, 320, 3))

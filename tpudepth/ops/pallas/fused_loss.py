@@ -12,9 +12,8 @@ implementation (:class:`tpudepth.losses.DepthLoss`) — "backward-friendly": the
 fused forward is used for the (recomputed) primal inside backward too, and
 numerics match the reference path to f32 tolerance (tested).
 
-VMEM needs ~14 full-image f32 buffers, so the fused path engages when
-H*W <= 256k pixels (covers NYU half 240x320 / mini, KITTI half 192x640 —
-the reference's training resolutions); larger inputs fall back to jnp.
+VMEM needs ~14 full-image f32 buffers (~17 MB at 480x640, well inside the
+v5e's 128 MB VMEM); inputs above 1M pixels fall back to jnp.
 """
 
 from __future__ import annotations
@@ -30,7 +29,9 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 _WS = 11
-_MAX_PIXELS = 256 * 1024
+# v5e exposes 128 MB VMEM; the kernel's live set is ~14 f32 image buffers,
+# so full NYU 480x640 (307k px -> ~17 MB) and KITTI 384x1280 fit comfortably.
+_MAX_PIXELS = 1024 * 1024
 
 
 @functools.lru_cache(maxsize=None)
@@ -126,6 +127,9 @@ def _fused_partials(pred: jax.Array, target: jax.Array, val_range: float) -> jax
         # writes its own row (per-step (1,3) blocks violate Mosaic's
         # block-divisibility rule)
         out_specs=pl.BlockSpec((b, 3), lambda i: (0, 0), memory_space=pltpu.SMEM),
+        # full-res images need ~60 MB of scratch; the default scoped-vmem cap
+        # is 16 MB but v5e has 128 MB physical VMEM
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024),
     )(
         pred.astype(jnp.float32).reshape(b, h, w),
         target.astype(jnp.float32).reshape(b, h, w),
@@ -282,6 +286,7 @@ def _fused_bwd(pred, target, val_range, scales):
             pl.BlockSpec((1, 3), lambda i: (0, 0), memory_space=pltpu.SMEM),
         ],
         out_specs=pl.BlockSpec((1, h, w), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024),
         scratch_shapes=[
             pltpu.VMEM((h + 2 * half, w), jnp.float32),
             pltpu.VMEM((h, w + 2 * half), jnp.float32),
