@@ -89,9 +89,29 @@ def main():
         engine.serialize(args.engine_path)
         print("serialized engine to", args.engine_path)
 
+    # Two-backend comparison mirroring the reference's PyTorch-fp32 vs
+    # TensorRT-fp16 speedtests (src/GuideDepth/inference.py:141-186): the
+    # plain-jit f32 path stands in for eager PyTorch, the AOT bf16 engine
+    # for the serialized TRT engine.
+    from tpudepth.infer.engine import speedtest
+
+    f32_model = build_model(args.model, dtype=jnp.float32)
+
+    @jax.jit
+    def jit_forward(image):
+        return f32_model.apply(variables, image, train=False)
+
+    example = jnp.zeros(shape, jnp.float32)
+    jit_stats = speedtest(jit_forward, example, args.num_test_runs, args.warm_up_runs)
+    print("[tpudepth jit f32]     {:.5f} s/frame, {:.1f} FPS, {:.1f} img/s".format(
+        jit_stats["seconds_per_frame"], jit_stats["fps"],
+        jit_stats["fps"] * args.batch_size))
+
     stats = engine.benchmark(args.num_test_runs, args.warm_up_runs)
     print("[tpudepth bf16 engine] {:.5f} s/frame, {:.1f} FPS, {:.1f} img/s".format(
         stats["seconds_per_frame"], stats["fps"], stats["images_per_second"]))
+    print("speedup engine/jit: {:.2f}x".format(
+        jit_stats["seconds_per_frame"] / stats["seconds_per_frame"]))
 
     if args.evaluate:
         from tpudepth.eval.evaluator import AlhashimEvaluator
@@ -108,8 +128,11 @@ def main():
         print(AlhashimEvaluator.format_report(avg))
         os.makedirs(args.save_results, exist_ok=True)
         with open(os.path.join(args.save_results, "inference_results.txt"), "w") as f:
-            f.write("s/frame,FPS,img/s\n")
-            f.write("{:.5f},{:.1f},{:.1f}\n".format(
+            f.write("backend,s/frame,FPS,img/s\n")
+            f.write("jit_f32,{:.5f},{:.1f},{:.1f}\n".format(
+                jit_stats["seconds_per_frame"], jit_stats["fps"],
+                jit_stats["fps"] * args.batch_size))
+            f.write("aot_bf16,{:.5f},{:.1f},{:.1f}\n".format(
                 stats["seconds_per_frame"], stats["fps"], stats["images_per_second"]))
 
 

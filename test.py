@@ -41,6 +41,12 @@ def main():
     parser.add_argument("--dtype", default="bfloat16", type=str)
     args = parser.parse_args()
 
+    # Must run before anything touches the jax backend (orbax restore in
+    # load_checkpoint initializes it) or TPUDEPTH_PLATFORM / the compile
+    # cache are silently ignored.
+    from tpudepth.core.runtime import apply_platform_override
+    apply_platform_override()
+
     import jax.numpy as jnp
 
     from tpudepth.core.config import EvalConfig
@@ -63,8 +69,6 @@ def main():
 
     _, test_loader = get_training_testing_data(args.bs, zip_path)
 
-    from tpudepth.core.runtime import apply_platform_override
-    apply_platform_override()
     import jax
 
     @jax.jit

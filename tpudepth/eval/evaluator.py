@@ -113,6 +113,17 @@ class AlhashimEvaluator:
             t0 = time.time()
             image = jnp.asarray(batch["image"])
             gt = np.asarray(batch["depth"]) * self.depth_scale  # meters
+            if cfg.eval_mode != "alhashim" and image.shape[1:3] != cfg.image_size:
+                # 'tu' mode: the reference's (missing) loader already yields
+                # data AT the model resolution and evaluates there directly —
+                # no prediction upscale, no crop (src/GuideDepth/evaluate.py:
+                # 60-66 resolution=args.resolution; :95-132 alhashim-only
+                # branches). Re-derived: resize image+gt to the model res.
+                image = resize_bilinear(image, cfg.image_size)
+                had_channel = gt.ndim == 4
+                gt4 = gt if had_channel else gt[..., None]
+                gt4 = np.asarray(resize_bilinear(jnp.asarray(gt4), cfg.image_size))
+                gt = gt4 if had_channel else gt4[..., 0]
             image_flip = jnp.flip(image, axis=2)
             gt_flip = gt[:, :, ::-1]
 

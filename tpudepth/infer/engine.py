@@ -57,20 +57,29 @@ class InferenceEngine:
         self.variables = variables
         self.input_shape = input_shape
         self.compute_dtype = compute_dtype
+        self.max_depth = max_depth
 
         def forward(image):
             pred = model.apply(variables, image.astype(compute_dtype), train=False)
-            return pred.astype(jnp.float32)
+            pred = pred.astype(jnp.float32)
+            if max_depth is not None:
+                # fuse the meters conversion into the engine, mirroring the
+                # reference TRT eval consuming inverse-normalized predictions
+                # (src/GuideDepth/inference.py:240-244 via training.py:191-196)
+                from tpudepth.train.trainer import inverse_depth_norm
+
+                pred = inverse_depth_norm(pred, max_depth)
+            return pred
 
         def forward_tta(image):
             p = forward(image)
             pf = forward(jnp.flip(image, axis=2))
             return 0.5 * (p + jnp.flip(pf, axis=2))
 
-        fn = forward_tta if flip_tta else forward
+        self._fn = forward_tta if flip_tta else forward
         example = jax.ShapeDtypeStruct(input_shape, jnp.float32)
         # AOT compile at the fixed deployment shape (TRT-engine analogue)
-        self._compiled = jax.jit(fn).lower(example).compile()
+        self._compiled = jax.jit(self._fn).lower(example).compile()
 
     def __call__(self, image) -> jax.Array:
         return self._compiled(jnp.asarray(image, jnp.float32))
@@ -83,16 +92,12 @@ class InferenceEngine:
         return stats
 
     def serialize(self, path: str):
-        """Persist the traced/exported function (engine-file analogue)."""
+        """Persist the traced/exported function (engine-file analogue).
+        Exports the engine's actual function (incl. flip-TTA / meters
+        conversion when configured)."""
         from jax import export as jax_export
 
-        def forward(image):
-            pred = self.model.apply(
-                self.variables, image.astype(self.compute_dtype), train=False
-            )
-            return pred.astype(jnp.float32)
-
-        exp = jax_export.export(jax.jit(forward))(
+        exp = jax_export.export(jax.jit(self._fn))(
             jax.ShapeDtypeStruct(self.input_shape, jnp.float32)
         )
         with open(path, "wb") as f:
