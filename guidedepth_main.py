@@ -15,10 +15,21 @@ import os
 import time
 
 
-def _resolve_data(spec, n_train=32, n_test=8):
+def _resolve_data(spec, n_train=32, n_test=8, dataset="nyu_reduced"):
     """'synthetic' or 'synthetic:HxW' -> fixture zip path; else pass through."""
     if not str(spec).startswith("synthetic"):
         return spec
+    if dataset == "kitti":
+        from tpudepth.data.synthetic import ensure_synthetic_kitti_zip
+
+        hw = (384, 1280)
+        if ":" in spec:
+            h, w = spec.split(":", 1)[1].split("x")
+            hw = (int(h), int(w))
+        return ensure_synthetic_kitti_zip(
+            f"/tmp/tpudepth_synth_kitti_{hw[0]}x{hw[1]}.zip",
+            n_train=n_train, n_test=n_test, image_hw=hw,
+        )
     from tpudepth.data.synthetic import ensure_synthetic_zip
 
     hw = (480, 640)
@@ -69,13 +80,16 @@ def main():
     import numpy as np
 
     from tpudepth.core.config import EvalConfig, TrainConfig
-    from tpudepth.core.mesh import batch_sharding, create_mesh
+    from tpudepth.core.mesh import create_mesh
     from tpudepth.data import get_training_testing_data
-    from tpudepth.train.checkpoint import load_checkpoint, save_checkpoint
+    from tpudepth.train.checkpoint import load_checkpoint
     from tpudepth.train.trainer import Trainer
 
-    data_path = _resolve_data(args.data_path)
-    test_path = _resolve_data(args.test_path) if args.test_path else data_path
+    data_path = _resolve_data(args.data_path, dataset=args.dataset)
+    test_path = (
+        _resolve_data(args.test_path, dataset=args.dataset)
+        if args.test_path else data_path
+    )
 
     mesh = create_mesh()
     os.makedirs(args.save_checkpoint, exist_ok=True)
@@ -92,7 +106,7 @@ def main():
         )
         print("Maximum Depth of Dataset: {}".format(config.max_depth))
         train_loader, val_loader = get_training_testing_data(
-            args.batch_size, data_path)
+            args.batch_size, data_path, dataset=args.dataset)
         trainer = Trainer(config, mesh=mesh, train_loader=train_loader,
                           val_loader=val_loader)
 
@@ -100,51 +114,29 @@ def main():
         trainer.init_state(first["image"])
 
         if args.load_checkpoint:
-            restored = load_checkpoint(args.load_checkpoint)
-            trainer.state = trainer.state.replace(
-                params=restored["params"], batch_stats=restored["batch_stats"],
-                opt_state=restored["opt_state"])
-            trainer.epoch = int(restored["epoch"])
+            trainer.restore(args.load_checkpoint)
 
-        sharding = batch_sharding(mesh)
-        steps_cap = args.steps_per_epoch or len(train_loader)
-        for epoch in range(trainer.epoch, args.num_epochs):
-            print("{} - Epoch {}".format(time.strftime("%H:%M"), epoch))
-            train_loader.set_epoch(epoch)
-            acc, seen = 0.0, 0
-            for i, batch in enumerate(train_loader):
-                if i >= steps_cap:
-                    break
-                image = jax.device_put(batch["image"], sharding)
-                depth = jax.device_put(batch["depth"], sharding)
-                rng = jax.random.fold_in(jax.random.PRNGKey(0), int(trainer.state.step))
-                trainer.state, loss = trainer._train_step(trainer.state, image, depth, rng)
-                acc += float(loss)
-                seen += 1
+        def on_epoch_end(epoch, train_avg, val_avg, tr):
             print("{} - Average Training Loss: {:3.4f}".format(
-                time.strftime("%H:%M"), acc / max(seen, 1)))
-            avg = trainer.val_epoch(max_batches=args.steps_per_epoch or 0)
-            if avg is not None:
+                time.strftime("%H:%M"), train_avg))
+            if val_avg is not None:
                 print("{} - Average Validation Loss: {:3.4f}".format(
-                    time.strftime("%H:%M"), trainer.val_losses[-1]))
+                    time.strftime("%H:%M"), tr.val_losses[-1]))
                 print("\n*\nRMSE={a.rmse:.3f}\nMAE={a.mae:.3f}\n"
                       "Delta1={a.delta1:.3f}\nDelta2={a.delta2:.3f}\n"
                       "Delta3={a.delta3:.3f}\nREL={a.absrel:.3f}\n"
-                      "Lg10={a.lg10:.3f}\nt_GPU={a.gpu_time:.3f}\n".format(a=avg))
-            # per-epoch checkpoint (src/GuideDepth/training.py:166-178)
-            save_checkpoint(
-                os.path.join(os.path.abspath(args.save_checkpoint), f"checkpoint_{epoch}"),
-                {"epoch": epoch + 1,
-                 "params": jax.device_get(trainer.state.params),
-                 "batch_stats": jax.device_get(trainer.state.batch_stats),
-                 "opt_state": jax.device_get(trainer.state.opt_state)},
-            )
-            print("{} - Model saved".format(time.strftime("%H:%M")))
-        # export best model (reference hardcodes the last epoch, training.py:181-189)
-        final = os.path.join(os.path.abspath(args.save_results), "best_model")
-        save_checkpoint(final, {
-            "params": jax.device_get(trainer.state.params),
-            "batch_stats": jax.device_get(trainer.state.batch_stats)})
+                      "Lg10={a.lg10:.3f}\nt_GPU={a.gpu_time:.3f}\n".format(a=val_avg))
+
+        # per-epoch checkpoints w/ val_losses + real best-epoch export
+        # (src/GuideDepth/training.py:72-86,166-189)
+        final = trainer.fit(
+            epochs=args.num_epochs,
+            steps_per_epoch=args.steps_per_epoch,
+            val_max_batches=args.steps_per_epoch or 0,
+            on_epoch_end=on_epoch_end,
+            checkpoint_style="per_epoch",
+            export_best=True,
+        )
         args.weights_path = final
         print("Model saved.")
 
@@ -173,13 +165,15 @@ def main():
                 model, jax.random.PRNGKey(0),
                 np.zeros((1, *config.image_size, 3), np.float32))
 
-        _, test_loader = get_training_testing_data(1, test_path)
+        _, test_loader = get_training_testing_data(1, test_path, dataset=args.dataset)
 
         @jax.jit
         def forward(image):
             return model.apply(variables, image, train=False).astype(jnp.float32)
 
-        evaluator = AlhashimEvaluator(forward, config)
+        # kitti loader yields meters; nyu 8-bit yields [0,1] * max_depth
+        depth_scale = 1.0 if args.dataset == "kitti" else None
+        evaluator = AlhashimEvaluator(forward, config, depth_scale=depth_scale)
         avg = evaluator.evaluate(test_loader, save_results_to=args.save_results)
         print(AlhashimEvaluator.format_report(avg))
 

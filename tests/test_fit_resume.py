@@ -1,0 +1,87 @@
+"""Unified Trainer.fit: per-epoch checkpoints with val_losses, mid-training
+resume reproducing the uninterrupted run, best-model selection by val loss,
+and the root rolling-checkpoint schema (VERDICT round-1 item 5).
+
+One consolidated test — each Trainer build costs ~30 s of CPU jit compiles,
+so all assertions share three trainer instances."""
+
+import os
+
+import numpy as np
+import pytest
+
+import jax
+
+from tpudepth.core.config import TrainConfig
+from tpudepth.core.mesh import create_mesh
+from tpudepth.data import get_training_testing_data, make_synthetic_zip
+from tpudepth.train.checkpoint import load_checkpoint, wait_for_checkpoints
+from tpudepth.train.trainer import Trainer
+
+
+def _make_trainer(synth_zip, ckpt_dir, results_dir):
+    cfg = TrainConfig(
+        model="unet_interp", epochs=2, batch_size=4, compute_dtype="float32",
+        checkpoint_dir=str(ckpt_dir), results_dir=str(results_dir),
+    )
+    train, test = get_training_testing_data(4, synth_zip)
+    return Trainer(cfg, mesh=create_mesh(num_data=2), train_loader=train,
+                   val_loader=test)
+
+
+def _leaves(tree):
+    return [np.asarray(x) for x in jax.tree_util.tree_leaves(tree)]
+
+
+def test_fit_checkpoint_resume_and_best_model(tmp_path):
+    synth_zip = make_synthetic_zip(
+        str(tmp_path / "synth.zip"), n_train=8, n_test=2, image_hw=(32, 32))
+
+    # --- uninterrupted run: 2 epochs, per-epoch checkpoints -------------------
+    ck_a = tmp_path / "ck_a"
+    tr_full = _make_trainer(synth_zip, ck_a, tmp_path / "res_a")
+    tr_full.fit(epochs=2, val_max_batches=1, checkpoint_style="per_epoch")
+    wait_for_checkpoints()
+
+    # guidedepth schema (src/GuideDepth/training.py:166-178) + val_losses
+    assert (ck_a / "checkpoint_0").exists() and (ck_a / "checkpoint_1").exists()
+    c1 = load_checkpoint(str(ck_a / "checkpoint_1"))
+    assert int(c1["epoch"]) == 2
+    assert len(c1["val_losses"]) == 2
+    assert all(np.isfinite(v) for v in c1["val_losses"])
+
+    # --- interrupted at epoch 1, resumed by a fresh trainer --------------------
+    ck_b = tmp_path / "ck_b"
+    tr_1 = _make_trainer(synth_zip, ck_b, tmp_path / "res_b")
+    tr_1.fit(epochs=1, val_max_batches=1, checkpoint_style="per_epoch")
+    wait_for_checkpoints()
+
+    tr_2 = _make_trainer(synth_zip, ck_b, tmp_path / "res_b")
+    first = next(iter(tr_2.train_loader))
+    tr_2.init_state(first["image"])
+    tr_2.restore(str(ck_b / "checkpoint_0"))
+    assert tr_2.epoch == 1
+    assert len(tr_2.val_losses) == 1
+    tr_2.fit(epochs=2, val_max_batches=1, checkpoint_style="per_epoch")
+
+    for a, b in zip(_leaves(tr_full.state.params), _leaves(tr_2.state.params)):
+        np.testing.assert_allclose(a, b, atol=1e-6)
+    assert tr_2.val_losses == pytest.approx(tr_full.val_losses, abs=1e-5)
+
+    # --- best-model selection by val-loss argmin -------------------------------
+    tr_2.val_losses = [0.5, 0.9]  # force a known argmin
+    final = tr_2.export_best_model()
+    best = load_checkpoint(final)
+    assert int(best["best_epoch"]) == 0
+    assert best["val_loss"] == pytest.approx(0.5)
+    c0 = load_checkpoint(str(ck_b / "checkpoint_0"))
+    for a, b in zip(_leaves(best["params"]), _leaves(c0["params"])):
+        np.testing.assert_array_equal(a, b)
+
+    # --- root rolling schema (src/train.py:147-153) ----------------------------
+    tr_full.save_rolling_checkpoint(epoch=1, loss=0.123)
+    wait_for_checkpoints()
+    ck = load_checkpoint(str(ck_a / "global_checkpoint"))
+    assert int(ck["epoch"]) == 1
+    assert ck["loss"] == pytest.approx(0.123)
+    assert "params" in ck and "opt_state" in ck

@@ -13,7 +13,12 @@ from __future__ import annotations
 from typing import Optional
 
 from tpudepth.core.config import RESOLUTIONS
-from tpudepth.data.nyu import DataLoader, NYUDepthDataset, load_zip_to_mem
+from tpudepth.data.nyu import (
+    DATASET_LAYOUTS,
+    DataLoader,
+    NYUDepthDataset,
+    load_zip_to_mem,
+)
 
 _CACHE = {}
 
@@ -37,12 +42,14 @@ def get_dataloader(
     Host-side augmentation is intentionally absent — flip/channel-swap run on
     device inside the train step (:mod:`tpudepth.data.augment`).
     """
+    train_csv, test_csv, depth_scale = DATASET_LAYOUTS[dataset]
     if path not in _CACHE:
-        _CACHE[path] = load_zip_to_mem(path)
+        _CACHE[path] = load_zip_to_mem(path, train_csv, test_csv)
     data, train_pairs, test_pairs = _CACHE[path]
     pairs = train_pairs if split == "train" else test_pairs
     ds = NYUDepthDataset(data, pairs, shard=shard, num_shards=num_shards,
-                         decode_workers=max(workers, 2))
+                         decode_workers=max(workers, 2),
+                         depth_post_scale=depth_scale)
     return DataLoader(
         ds,
         batch_size,

@@ -95,11 +95,16 @@ class NYUDepthDataset:
         use_native: bool = True,
         cache_decoded: bool = False,
         max_cache_gb: float = 48.0,
+        depth_post_scale: float = 1.0,
     ):
         if num_shards > 1:
             pairs = list(pairs)[shard::num_shards]
         self.data = data
         self.pairs = list(pairs)
+        # KITTI stores depth as 16-bit png with meters = value/256
+        # (standard KITTI depth-completion convention; the reference's kitti
+        # branch relies on its missing upstream data package for this).
+        self.depth_post_scale = depth_post_scale
         self._pool = ThreadPoolExecutor(max_workers=decode_workers)
         self._native_shapes = None  # ((h,w,c), (h,w,c)) for (rgb, depth)
         if use_native and self.pairs:
@@ -139,6 +144,8 @@ class NYUDepthDataset:
         rgb_name, depth_name = self.pairs[idx][0], self.pairs[idx][1]
         img = _decode(self.data[rgb_name])
         dep = _decode(self.data[depth_name])
+        if self.depth_post_scale != 1.0:
+            dep = dep * self.depth_post_scale
         if self._cache is not None:
             self._cache[idx] = (
                 np.round(img * 255.0).astype(np.uint8),
@@ -162,6 +169,8 @@ class NYUDepthDataset:
             images = native.decode_batch(rgb_bufs, ih, iw, ic)
             depths = native.decode_batch(dep_bufs, dh, dw, dc)
             if images is not None and depths is not None:
+                if self.depth_post_scale != 1.0:
+                    depths = depths * np.float32(self.depth_post_scale)
                 return {"image": images, "depth": depths}
         outs = list(self._pool.map(self.get, indices))
         images = np.stack([o[0] for o in outs])
@@ -236,18 +245,33 @@ class DataLoader:
         pool.shutdown(wait=False)
 
 
+#: csv pair-list names and depth decode scale per dataset family.
+#: nyu*: Alhashim layout, 8-bit depth already /255 by the decoder
+#: (``src/data.py:54-55,132,153``); kitti: 16-bit png, meters = value/256
+#: (standard KITTI convention — the reference's kitti path lives in its
+#: missing upstream data package, re-derived here).
+DATASET_LAYOUTS = {
+    "nyu": ("data/nyu2_train.csv", "data/nyu2_test.csv", 1.0),
+    "nyu_reduced": ("data/nyu2_train.csv", "data/nyu2_test.csv", 1.0),
+    "kitti": ("data/kitti_train.csv", "data/kitti_test.csv", 1.0 / 256.0),
+}
+
+
 def get_training_testing_data(
     batch_size: int,
     zip_path: str = "CSVdata.zip",
     sharding=None,
     shard: int = 0,
     num_shards: int = 1,
+    dataset: str = "nyu_reduced",
 ) -> Tuple[DataLoader, DataLoader]:
     """``getTrainingTestingData`` parity (``src/data.py:171-179``): train
     loader shuffled, test loader in csv order."""
-    data, train_pairs, test_pairs = load_zip_to_mem(zip_path)
-    train = NYUDepthDataset(data, train_pairs, shard, num_shards)
-    test = NYUDepthDataset(data, test_pairs)
+    train_csv, test_csv, depth_scale = DATASET_LAYOUTS[dataset]
+    data, train_pairs, test_pairs = load_zip_to_mem(zip_path, train_csv, test_csv)
+    train = NYUDepthDataset(data, train_pairs, shard, num_shards,
+                            depth_post_scale=depth_scale)
+    test = NYUDepthDataset(data, test_pairs, depth_post_scale=depth_scale)
     return (
         DataLoader(train, batch_size, shuffle=True, sharding=sharding),
         DataLoader(test, batch_size, shuffle=False, drop_last=False, sharding=sharding),

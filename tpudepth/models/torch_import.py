@@ -26,7 +26,10 @@ def state_dict_to_numpy(state_dict) -> Dict[str, np.ndarray]:
     {name: np.ndarray}."""
     out = {}
     for k, v in state_dict.items():
-        out[k] = np.asarray(v.detach().cpu().numpy() if hasattr(v, "detach") else v)
+        # copy: tensor.numpy() aliases torch storage, and jnp.asarray on CPU
+        # aliases numpy — without the copy, training the torch model after
+        # conversion would silently mutate the converted jax params.
+        out[k] = np.array(v.detach().cpu().numpy() if hasattr(v, "detach") else v)
     return out
 
 

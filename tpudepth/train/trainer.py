@@ -28,6 +28,7 @@ TPU-first engine differences from the reference (single-GPU, host-side aug):
 from __future__ import annotations
 
 import dataclasses
+import os
 import time
 from functools import partial
 from typing import Any, Callable, Dict, Optional, Tuple
@@ -42,6 +43,7 @@ from flax.core import FrozenDict
 
 from tpudepth.core.config import TrainConfig
 from tpudepth.core.mesh import batch_sharding, create_mesh, replicated
+from tpudepth.core.precision import Precision
 from tpudepth.data.augment import augment_batch
 from tpudepth.losses import DepthLoss, depth_norm_minmax, l1_loss, silog_loss_variance, ssim
 
@@ -241,10 +243,13 @@ class Trainer:
         if config.model not in ("GuideDepth", "GuideDepth-S"):
             # root stack models train with the root recipe (src/train.py:94-100)
             recipe_kind = "root"
+        # 8-bit NYU depth arrives in [0,1] -> scale by max_depth to meters;
+        # the kitti reader already yields meters (16-bit png / 256).
+        depth_scale = 1.0 if config.dataset == "kitti" else config.max_depth
         self.recipe = LossRecipe(
             kind=recipe_kind,
             max_depth=config.max_depth,
-            depth_scale=config.max_depth,  # 8-bit depth in [0,1] -> meters
+            depth_scale=depth_scale,
         )
 
         self._rng = jax.random.PRNGKey(config.seed)
@@ -290,24 +295,38 @@ class Trainer:
 
     # -- loops ----------------------------------------------------------------
 
-    def train_epoch(self, log_fn=None) -> float:
-        cfg = self.config
+    def train_step(self, batch, rng=None):
+        """One optimizer step on a host batch dict. Public API — CLIs must not
+        reach into the jitted ``_train_step`` directly."""
         sharding = batch_sharding(self.mesh)
+        image = jax.device_put(batch["image"], sharding)
+        depth = jax.device_put(batch["depth"], sharding)
+        if rng is None:
+            rng = jax.random.fold_in(self._rng, int(self.state.step))
+        self.state, loss = self._train_step(self.state, image, depth, rng)
+        return loss
+
+    def train_epoch(self, log_fn=None, steps_cap: int = 0, image_log_fn=None) -> float:
+        cfg = self.config
+        steps_total = len(self.train_loader)
+        steps_cap = steps_cap or steps_total
         total, count = 0.0, 0
         start = time.perf_counter()
         for i, batch in enumerate(self.train_loader):
-            image = jax.device_put(batch["image"], sharding)
-            depth = jax.device_put(batch["depth"], sharding)
-            step_rng = jax.random.fold_in(self._rng, int(self.state.step))
-            self.state, loss = self._train_step(self.state, image, depth, step_rng)
+            if i >= steps_cap:
+                break
+            loss = self.train_step(batch)
+            niter = self.epoch * steps_total + i
             if i % cfg.log_every == 0:
                 loss_f = float(loss)
-                total += loss_f * image.shape[0]
-                count += image.shape[0]
+                total += loss_f * batch["image"].shape[0]
+                count += batch["image"].shape[0]
                 if log_fn:
-                    log_fn(self.epoch, i, len(self.train_loader), loss_f,
-                           time.perf_counter() - start)
+                    log_fn(self.epoch, i, steps_total, loss_f,
+                           time.perf_counter() - start, niter)
                 start = time.perf_counter()
+            if image_log_fn and i % cfg.image_log_every == 0:
+                image_log_fn(niter)
         return total / max(count, 1)
 
     def val_epoch(self, max_batches: int = 0):
@@ -359,19 +378,146 @@ class Trainer:
         self.val_losses.append(acc_loss / max(seen, 1))
         return avg
 
-    def fit(self, epochs: Optional[int] = None, log_fn=None, on_epoch_end=None):
+    # -- checkpointing ---------------------------------------------------------
+
+    def _state_payload(self):
+        return {
+            "params": jax.device_get(self.state.params),
+            "batch_stats": jax.device_get(self.state.batch_stats),
+            "opt_state": jax.device_get(self.state.opt_state),
+        }
+
+    def save_epoch_checkpoint(self, epoch: int) -> str:
+        """GuideDepth schema: per-epoch ``checkpoint_{e}`` carrying epoch+1 and
+        the ``val_losses`` history (``src/GuideDepth/training.py:166-178``)."""
+        from tpudepth.train.checkpoint import save_checkpoint
+
+        path = os.path.join(
+            os.path.abspath(self.config.checkpoint_dir), f"checkpoint_{epoch}"
+        )
+        payload = {"epoch": epoch + 1, "val_losses": list(self.val_losses)}
+        payload.update(self._state_payload())
+        save_checkpoint(path, payload)
+        return path
+
+    def save_rolling_checkpoint(self, epoch: int, loss: float) -> str:
+        """Root schema: one rolling ``global_checkpoint``
+        (``src/train.py:147-153``)."""
+        from tpudepth.train.checkpoint import save_checkpoint
+
+        path = os.path.join(
+            os.path.abspath(self.config.checkpoint_dir), "global_checkpoint"
+        )
+        payload = {"epoch": epoch, "loss": float(loss)}
+        payload.update(self._state_payload())
+        save_checkpoint(path, payload)
+        return path
+
+    def restore(self, path: str):
+        """Resume mid-training: state + epoch counter + val_losses history.
+
+        The live state serves as the restore template so optax NamedTuple
+        opt-state structure survives the orbax round trip (a raw restore
+        returns plain dicts, which ``tx.update`` cannot consume)."""
+        from tpudepth.train.checkpoint import load_checkpoint
+
+        raw = load_checkpoint(path)  # metadata (epoch, val_losses, loss, ...)
+        target = dict(raw)
+        target["params"] = jax.device_get(self.state.params)
+        target["batch_stats"] = jax.device_get(self.state.batch_stats)
+        target["opt_state"] = jax.device_get(self.state.opt_state)
+        restored = load_checkpoint(path, target)
+        rep = replicated(self.mesh)
+        self.state = self.state.replace(
+            params=jax.device_put(restored["params"], rep),
+            batch_stats=jax.device_put(restored["batch_stats"], rep),
+            opt_state=jax.device_put(restored["opt_state"], rep),
+            step=jnp.asarray(
+                restored.get("epoch", 0) * self.steps_per_epoch, jnp.int32
+            ),
+        )
+        # guidedepth schema stores epoch+1 (the epoch to resume at); the root
+        # schema stores the completed epoch, whose resume point is epoch+1 —
+        # handled by the caller (src/train.py:59-68 semantics).
+        self.epoch = int(restored.get("epoch", 0))
+        self.val_losses = [float(v) for v in restored.get("val_losses", [])]
+        return restored
+
+    def export_best_model(self, out_dir: Optional[str] = None) -> str:
+        """Select the epoch with the lowest validation loss and export its
+        params as ``best_model``. (The reference hardcodes ``checkpoint_19`` —
+        ``src/GuideDepth/training.py:181-189``; real argmin selection here is
+        a documented improvement.)"""
+        from tpudepth.train.checkpoint import load_checkpoint, save_checkpoint
+
+        out_dir = os.path.abspath(out_dir or self.config.results_dir)
+        payload = None
+        best_epoch = self.epoch
+        if self.val_losses:
+            best_epoch = int(np.argmin(self.val_losses))
+            path = os.path.join(
+                os.path.abspath(self.config.checkpoint_dir), f"checkpoint_{best_epoch}"
+            )
+            if os.path.exists(path):
+                ck = load_checkpoint(path)
+                payload = {
+                    "params": ck["params"],
+                    "batch_stats": ck["batch_stats"],
+                    "best_epoch": best_epoch,
+                    "val_loss": float(self.val_losses[best_epoch]),
+                }
+        if payload is None:  # no val history / checkpoint: use current state
+            payload = {
+                "params": jax.device_get(self.state.params),
+                "batch_stats": jax.device_get(self.state.batch_stats),
+                "best_epoch": best_epoch,
+            }
+        final = os.path.join(out_dir, "best_model")
+        save_checkpoint(final, payload, blocking=True)
+        return final
+
+    # -- fit --------------------------------------------------------------------
+
+    def fit(
+        self,
+        epochs: Optional[int] = None,
+        steps_per_epoch: int = 0,
+        val_max_batches: int = 0,
+        log_fn=None,
+        image_log_fn=None,
+        on_epoch_end=None,
+        checkpoint_style: Optional[str] = None,  # None | 'per_epoch' | 'rolling'
+        export_best: bool = False,
+    ):
+        """Full training driver: epoch loop + validation + checkpointing.
+
+        ``on_epoch_end(epoch, train_avg, val_result, trainer)`` fires after
+        validation, before the checkpoint save. CLIs hook TB logging and
+        console printouts here instead of re-implementing the loop.
+        """
         epochs = epochs or self.config.epochs
         if self.state is None:
             first = next(iter(self.train_loader))
             self.init_state(first["image"])
-        for self.epoch in range(self.epoch, epochs):
-            self.train_loader.set_epoch(self.epoch)
-            avg = self.train_epoch(log_fn)
+        for epoch in range(self.epoch, epochs):
+            self.epoch = epoch
+            self.train_loader.set_epoch(epoch)
+            train_avg = self.train_epoch(log_fn, steps_cap=steps_per_epoch,
+                                         image_log_fn=image_log_fn)
+            val_avg = None
+            if self.val_loader is not None:
+                val_avg = self.val_epoch(max_batches=val_max_batches)
             if on_epoch_end:
-                on_epoch_end(self.epoch, avg, self)
+                on_epoch_end(epoch, train_avg, val_avg, self)
+            if checkpoint_style == "per_epoch":
+                self.save_epoch_checkpoint(epoch)
+            elif checkpoint_style == "rolling":
+                self.save_rolling_checkpoint(epoch, train_avg)
+        self.epoch = epochs
+        if export_best:
+            return self.export_best_model()
         return self.state
 
 
 def _dtype(name: str):
-    return {"bfloat16": jnp.bfloat16, "bf16": jnp.bfloat16,
-            "float32": jnp.float32, "f32": jnp.float32}[name]
+    return Precision.from_str(name).compute_dtype

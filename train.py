@@ -86,9 +86,7 @@ def main():
     from tpudepth.core.mesh import batch_sharding, create_mesh
     from tpudepth.data import get_training_testing_data
     from tpudepth.eval.metrics import ScalarMeter
-    from tpudepth.train.checkpoint import load_checkpoint, save_checkpoint
     from tpudepth.train.trainer import Trainer
-    from tpudepth.utils.viz import colorize
 
     zip_path = _resolve_data(args.data)
 
@@ -123,74 +121,55 @@ def main():
         pass
 
     ckpt_path = os.path.abspath("./checkpoints/global_checkpoint")
-    epoch_start = 0
     if args.cp == 1:
         print("starting training from the last checkpoint")
-        restored = load_checkpoint(
-            ckpt_path,
-            {"epoch": 0, "params": trainer.state.params,
-             "batch_stats": trainer.state.batch_stats,
-             "opt_state": trainer.state.opt_state, "loss": 0.0},
-        )
-        trainer.state = trainer.state.replace(
-            params=restored["params"], batch_stats=restored["batch_stats"],
-            opt_state=restored["opt_state"],
-        )
-        epoch_start = int(restored["epoch"]) + 1
-        print("epoch started:", epoch_start)
-        print("loss started:", restored["loss"])
+        restored = trainer.restore(ckpt_path)
+        trainer.epoch += 1  # root schema stores the completed epoch (src/train.py:59-68)
+        print("epoch started:", trainer.epoch)
+        print("loss started:", restored.get("loss", 0.0))
 
     sharding = batch_sharding(mesh)
     size_loader = len(train_loader)
-    steps_cap = args.steps_per_epoch or size_loader
+    losses = ScalarMeter()
+    batch_time = ScalarMeter()
 
-    for epoch in range(epoch_start, args.epochs):
-        losses = ScalarMeter()
-        batch_time = ScalarMeter()
-        train_loader.set_epoch(epoch)
-        end = time.time()
-        last_loss = 0.0
-        for loader_pos, batch in enumerate(train_loader):
-            if loader_pos >= steps_cap:
-                break
-            image = jax.device_put(batch["image"], sharding)
-            depth = jax.device_put(batch["depth"], sharding)
-            rng = jax.random.fold_in(jax.random.PRNGKey(config.seed),
-                                     int(trainer.state.step))
-            trainer.state, loss = trainer._train_step(trainer.state, image, depth, rng)
+    def log_fn(epoch, loader_pos, steps_total, loss_f, dt, niter):
+        if loader_pos == 0:  # fresh meters each epoch (src/train.py:74-79)
+            losses.reset()
+            batch_time.reset()
+        losses.update(loss_f, args.bs)
+        batch_time.update(dt)
+        eta = str(datetime.timedelta(
+            seconds=int(batch_time.val * (steps_total - loader_pos))))
+        print(
+            f"Epoch: [{epoch}][{loader_pos}/{steps_total}]\t"
+            f"Time {batch_time.val:.3f} ({batch_time.sum:.3f})\t"
+            f"ETA {eta}\tLoss {losses.val:.4f} ({losses.avg:.4f})"
+        )
+        if writer:
+            writer.add_scalar("Train/Loss", losses.val, niter)
 
-            niter = epoch * size_loader + loader_pos
-            if loader_pos % 5 == 0:
-                last_loss = float(loss)
-                losses.update(last_loss, image.shape[0])
-                batch_time.update(time.time() - end)
-                eta = str(datetime.timedelta(
-                    seconds=int(batch_time.val * (size_loader - loader_pos))))
-                print(
-                    f"Epoch: [{epoch}][{loader_pos}/{size_loader}]\t"
-                    f"Time {batch_time.val:.3f} ({batch_time.sum:.3f})\t"
-                    f"ETA {eta}\tLoss {losses.val:.4f} ({losses.avg:.4f})"
-                )
-                if writer:
-                    writer.add_scalar("Train/Loss", losses.val, niter)
-            if writer and loader_pos % 300 == 0:
-                print("Recording epoch`s intermediate results. %300")
-                log_progress(trainer, test_loader, writer, sharding, niter)
-            end = time.time()
+    def image_log_fn(niter):
+        if writer:
+            print("Recording epoch`s intermediate results. %300")
+            log_progress(trainer, test_loader, writer, sharding, niter)
 
+    def on_epoch_end(epoch, train_avg, val_avg, tr):
         if writer:
             writer.add_scalar("Train/Loss.avg", losses.avg, epoch)
             log_progress(trainer, test_loader, writer, sharding, epoch)
-
         print("saving a checkpoint.")
-        save_checkpoint(ckpt_path, {
-            "epoch": epoch,
-            "params": jax.device_get(trainer.state.params),
-            "batch_stats": jax.device_get(trainer.state.batch_stats),
-            "opt_state": jax.device_get(trainer.state.opt_state),
-            "loss": last_loss,
-        })
-        print("checkpoint saved at:", ckpt_path)
+
+    trainer.val_loader = None  # root recipe logs images instead of validating
+    trainer.fit(
+        epochs=args.epochs,
+        steps_per_epoch=args.steps_per_epoch,
+        log_fn=log_fn,
+        image_log_fn=image_log_fn,
+        on_epoch_end=on_epoch_end,
+        checkpoint_style="rolling",
+    )
+    print("checkpoint saved at:", ckpt_path)
 
 
 if __name__ == "__main__":
