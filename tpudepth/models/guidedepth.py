@@ -25,21 +25,33 @@ _BN_EPS = 1e-5
 
 class SELayer(nn.Module):
     """Channel SE with spatial mean squeeze (TensorRT-friendly variant,
-    ``modules.py:5-25``); bias-free linears, reduction=1 in GUB."""
+    ``modules.py:5-25``); bias-free linears, reduction=1 in GUB.
+
+    ``packed``: input is a space-to-depth tensor; the squeeze averages the
+    packed copies back to per-original-channel means (identical values) and
+    the excitation scale is tiled back — the fc params are unchanged."""
 
     reduction: int = 16
     dtype: Optional[Any] = None
 
     @nn.compact
-    def __call__(self, x):
-        c = x.shape[-1]
-        y = jnp.mean(x, axis=(1, 2))
+    def __call__(self, x, packed: int = 0):
+        if packed:
+            from tpudepth.ops.packed import packed_channel_mean
+
+            c = x.shape[-1] // (packed * packed)
+            y = packed_channel_mean(x, packed)
+        else:
+            c = x.shape[-1]
+            y = jnp.mean(x, axis=(1, 2))
         y = nn.Dense(c // self.reduction, use_bias=False, dtype=self.dtype,
                      param_dtype=jnp.float32, name="fc1")(y)
         y = relu(y)
         y = nn.Dense(c, use_bias=False, dtype=self.dtype,
                      param_dtype=jnp.float32, name="fc2")(y)
         y = jax.nn.sigmoid(y)
+        if packed:
+            y = jnp.tile(y, (1, packed * packed))
         return x * y[:, None, None, :]
 
 
@@ -49,10 +61,11 @@ class _ConvBNRelu(nn.Module):
     dtype: Optional[Any] = None
 
     @nn.compact
-    def __call__(self, x, train: bool):
+    def __call__(self, x, train: bool, packed: int = 0):
         x = Conv(self.features, self.kernel, padding=(self.kernel - 1) // 2,
-                 use_bias=True, dtype=self.dtype, name="conv")(x)
-        x = BatchNorm(_BN_MOM, _BN_EPS, dtype=self.dtype, name="bn")(x, train)
+                 use_bias=True, dtype=self.dtype, name="conv")(x, packed=packed)
+        x = BatchNorm(_BN_MOM, _BN_EPS, dtype=self.dtype, name="bn")(
+            x, train, packed=packed)
         return relu(x)
 
 
@@ -61,7 +74,12 @@ class GuidedUpsamplingBlock(nn.Module):
 
     feature branch (conv3-BN-ReLU, conv1-BN-ReLU to expand//2) || guide branch
     (same on RGB) -> concat -> SE(reduction=1) -> comb conv back to
-    in_features -> +depth residual -> 1x1 reduce."""
+    in_features -> +depth residual -> 1x1 reduce.
+
+    ``packed``: all tensors flow in space-to-depth layout (see
+    :mod:`tpudepth.ops.packed`) — exact same math with 4x the channels at 1/4
+    the spatial size, which is ~5x faster on the MXU for the thin-channel
+    full/half-res stages (scripts/bench_s2d.py). Parameters are identical."""
 
     in_features: int
     expand_features: int
@@ -71,35 +89,49 @@ class GuidedUpsamplingBlock(nn.Module):
     dtype: Optional[Any] = None
 
     @nn.compact
-    def __call__(self, guide, depth, train: bool = False):
+    def __call__(self, guide, depth, train: bool = False, packed: int = 0):
         ef = self.expand_features
-        x = _ConvBNRelu(ef, self.kernel_size, dtype=self.dtype, name="feature_conv_a")(depth, train)
-        x = _ConvBNRelu(ef // 2, 1, dtype=self.dtype, name="feature_conv_b")(x, train)
+        x = _ConvBNRelu(ef, self.kernel_size, dtype=self.dtype, name="feature_conv_a")(depth, train, packed)
+        x = _ConvBNRelu(ef // 2, 1, dtype=self.dtype, name="feature_conv_b")(x, train, packed)
 
-        y = _ConvBNRelu(ef, self.kernel_size, dtype=self.dtype, name="guide_conv_a")(guide, train)
-        y = _ConvBNRelu(ef // 2, 1, dtype=self.dtype, name="guide_conv_b")(y, train)
+        y = _ConvBNRelu(ef, self.kernel_size, dtype=self.dtype, name="guide_conv_a")(guide, train, packed)
+        y = _ConvBNRelu(ef // 2, 1, dtype=self.dtype, name="guide_conv_b")(y, train, packed)
 
-        xy = jnp.concatenate([x, y], axis=-1)
+        if packed:
+            from tpudepth.ops.packed import packed_concat
+
+            xy = packed_concat([x, y], packed)
+        else:
+            xy = jnp.concatenate([x, y], axis=-1)
         if self.channel_attention:
-            xy = SELayer(reduction=1, dtype=self.dtype, name="SE_block")(xy)
+            xy = SELayer(reduction=1, dtype=self.dtype, name="SE_block")(xy, packed=packed)
 
-        r = _ConvBNRelu(ef, self.kernel_size, dtype=self.dtype, name="comb_conv_a")(xy, train)
-        r = _ConvBNRelu(self.in_features, 1, dtype=self.dtype, name="comb_conv_b")(r, train)
+        r = _ConvBNRelu(ef, self.kernel_size, dtype=self.dtype, name="comb_conv_a")(xy, train, packed)
+        r = _ConvBNRelu(self.in_features, 1, dtype=self.dtype, name="comb_conv_b")(r, train, packed)
 
-        return Conv(self.out_features, 1, use_bias=True, dtype=self.dtype,
-                    name="reduce")(r + depth)
+        return Conv(self.out_features, 1, padding=0, use_bias=True, dtype=self.dtype,
+                    name="reduce")(r + depth, packed=packed)
 
 
 class GuideDepth(nn.Module):
     """``GuideDepth.py:9-57``. ``up_features=[64,32,16]`` (default) or
-    ``[32,8,4]`` for GuideDepth-S (``loader.py:19``)."""
+    ``[32,8,4]`` for GuideDepth-S (``loader.py:19``).
+
+    ``packed=True`` executes thin-channel GUB stages in space-to-depth layout
+    (2x2 blocks folded into channels): mathematically identical, ~5x faster
+    per packed conv on the MXU (PERF.md / scripts/bench_s2d.py). A stage is
+    packed when its expanded channel count still fits well in the 128-lane
+    vector register (4*expand <= 128) and the guide resolution is even."""
 
     up_features: Sequence[int] = (64, 32, 16)
     inner_features: Sequence[int] = (64, 32, 16)
     dtype: Optional[Any] = None
+    packed: bool = True
 
     @nn.compact
     def __call__(self, x, train: bool = False):
+        from tpudepth.ops.packed import depth_to_space, space_to_depth, upsample2x_packed
+
         up, inner = list(self.up_features), list(self.inner_features)
         y = DualResNetBackbone(features=up[0], dtype=self.dtype,
                                name="feature_extractor")(x, train)
@@ -108,13 +140,23 @@ class GuideDepth(nn.Module):
         x_half = resize_nearest(x, (h // 2, w // 2))
         x_quarter = resize_nearest(x, (h // 4, w // 4))
 
-        y = resize_bilinear(y, (y.shape[1] * 2, y.shape[2] * 2), align_corners=False)
-        y = GuidedUpsamplingBlock(up[0], inner[0], up[1], dtype=self.dtype,
-                                  name="up_1")(x_quarter, y, train)
-        y = resize_bilinear(y, (y.shape[1] * 2, y.shape[2] * 2), align_corners=False)
-        y = GuidedUpsamplingBlock(up[1], inner[1], up[2], dtype=self.dtype,
-                                  name="up_2")(x_half, y, train)
-        y = resize_bilinear(y, (y.shape[1] * 2, y.shape[2] * 2), align_corners=False)
-        y = GuidedUpsamplingBlock(up[2], inner[2], 1, dtype=self.dtype,
-                                  name="up_3")(x, y, train)
+        guides = (x_quarter, x_half, x)
+        outs = (up[1], up[2], 1)
+        for i in range(3):
+            guide = guides[i]
+            gh, gw = guide.shape[1:3]
+            use_pack = (
+                self.packed and 4 * inner[i] <= 128
+                and gh % 2 == 0 and gw % 2 == 0
+            )
+            gub = GuidedUpsamplingBlock(up[i], inner[i], outs[i],
+                                        dtype=self.dtype, name=f"up_{i + 1}")
+            if use_pack:
+                y = upsample2x_packed(y)  # packed at guide resolution
+                y = gub(space_to_depth(guide, 2), y, train, packed=2)
+                y = depth_to_space(y, 2)
+            else:
+                y = resize_bilinear(y, (y.shape[1] * 2, y.shape[2] * 2),
+                                    align_corners=False)
+                y = gub(guide, y, train)
         return y

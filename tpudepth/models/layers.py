@@ -61,8 +61,49 @@ def make_divisible(v: float, divisor: int = 8, min_value: Optional[int] = None) 
     return new_v
 
 
+class _PackedConvInner(nn.Module):
+    """Param-compatible stand-in for ``nn.Conv`` executing in packed
+    (space-to-depth) layout — see :mod:`tpudepth.ops.packed`. Declares the
+    SAME 'kernel'/'bias' params (unpacked shapes) so checkpoints, converters
+    and golden tests are unaffected; only the execution layout changes."""
+
+    features: int
+    kernel_size: int
+    block: int
+    use_bias: bool
+    dtype: Optional[Dtype] = None
+
+    @nn.compact
+    def __call__(self, xp):
+        from tpudepth.ops.packed import pack_conv_kernel, tile_channel
+
+        b2 = self.block * self.block
+        cin = xp.shape[-1] // b2
+        k = self.kernel_size
+        kernel = self.param(
+            "kernel", nn.initializers.lecun_normal(), (k, k, cin, self.features),
+            jnp.float32,
+        )
+        dt = self.dtype or xp.dtype
+        wp, pad = pack_conv_kernel(kernel, self.block)
+        y = jax.lax.conv_general_dilated(
+            xp.astype(dt), wp.astype(dt), (1, 1), [(pad, pad), (pad, pad)],
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        )
+        if self.use_bias:
+            bias = self.param("bias", nn.initializers.zeros, (self.features,),
+                              jnp.float32)
+            y = y + tile_channel(bias, self.block).astype(dt)
+        return y
+
+
 class Conv(nn.Module):
-    """2D conv wrapper: NHWC, torch-style symmetric padding."""
+    """2D conv wrapper: NHWC, torch-style symmetric padding.
+
+    ``packed``: execute in space-to-depth layout (input/output are packed
+    tensors with ``packed**2`` x channels) — requires stride 1, groups 1 and
+    SAME-style padding. Parameters are identical to the unpacked form.
+    """
 
     features: int
     kernel_size: int = 3
@@ -73,7 +114,14 @@ class Conv(nn.Module):
     dtype: Optional[Dtype] = None
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, packed: int = 0):
+        if packed:
+            assert self.stride == 1 and self.groups == 1
+            assert self.padding == (self.kernel_size - 1) // 2
+            return _PackedConvInner(
+                self.features, self.kernel_size, packed, self.use_bias,
+                dtype=self.dtype, name="Conv_0",
+            )(x)
         pad = self.padding
         if isinstance(pad, int):
             pad = [(pad, pad), (pad, pad)]
@@ -110,6 +158,52 @@ class ConvTranspose(nn.Module):
         )(x)
 
 
+class _PackedBatchNormInner(nn.Module):
+    """Param-compatible stand-in for ``nn.BatchNorm`` on packed tensors:
+    batch statistics are computed per ORIGINAL channel (grouping the
+    ``block**2`` packed copies), exactly matching the unpacked stats; running
+    stats/scale/bias keep their unpacked [C] shapes and names."""
+
+    block: int
+    momentum: float  # flax-style: fraction of the running stat kept
+    eps: float
+    dtype: Optional[Dtype] = None
+
+    @nn.compact
+    def __call__(self, xp, train: bool):
+        b2 = self.block * self.block
+        c = xp.shape[-1] // b2
+        ra_mean = self.variable(
+            "batch_stats", "mean", lambda s: jnp.zeros(s, jnp.float32), (c,))
+        ra_var = self.variable(
+            "batch_stats", "var", lambda s: jnp.ones(s, jnp.float32), (c,))
+        scale = self.param("scale", nn.initializers.ones, (c,), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros, (c,), jnp.float32)
+
+        if train:
+            xf = xp.astype(jnp.float32)
+            xg = xf.reshape(*xf.shape[:-1], b2, c)
+            mean = jnp.mean(xg, axis=(0, 1, 2, 3))
+            mean2 = jnp.mean(xg * xg, axis=(0, 1, 2, 3))
+            var = jnp.maximum(mean2 - mean * mean, 0.0)
+            if not self.is_initializing():
+                ra_mean.value = self.momentum * ra_mean.value + (1 - self.momentum) * mean
+                ra_var.value = self.momentum * ra_var.value + (1 - self.momentum) * var
+        else:
+            mean, var = ra_mean.value, ra_var.value
+
+        from tpudepth.ops.packed import tile_channel
+
+        # same op order as flax nn.BatchNorm._normalize (promote to dtype,
+        # y = (x - mean) * (rsqrt(var + eps) * scale) + bias)
+        dt = self.dtype or xp.dtype
+        y = xp.astype(dt) - tile_channel(mean.astype(dt), self.block)
+        mul = jax.lax.rsqrt(var.astype(dt) + jnp.asarray(self.eps, dt))
+        mul = mul * scale.astype(dt)
+        return y * tile_channel(mul, self.block) + tile_channel(
+            bias.astype(dt), self.block)
+
+
 class BatchNorm(nn.Module):
     """BatchNorm with torch-style momentum semantics.
 
@@ -117,6 +211,9 @@ class BatchNorm(nn.Module):
     mesh axis, the batch statistics are global means — XLA inserts the
     all-reduce — giving SyncBatchNorm semantics for free (the reference left
     this unsolved: ``src/GuideDepth/model/DDRNet_23_slim.py:15``).
+
+    ``packed``: operate on a space-to-depth tensor with per-original-channel
+    stats (grouped over the packed copies); param tree unchanged.
     """
 
     torch_momentum: float = 0.1
@@ -124,7 +221,12 @@ class BatchNorm(nn.Module):
     dtype: Optional[Dtype] = None
 
     @nn.compact
-    def __call__(self, x, train: bool):
+    def __call__(self, x, train: bool, packed: int = 0):
+        if packed:
+            return _PackedBatchNormInner(
+                packed, 1.0 - self.torch_momentum, self.eps, dtype=self.dtype,
+                name="BatchNorm_0",
+            )(x, train)
         return nn.BatchNorm(
             use_running_average=not train,
             momentum=1.0 - self.torch_momentum,

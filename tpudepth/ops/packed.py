@@ -1,0 +1,154 @@
+"""Space-to-depth "packed" execution for thin-channel conv stages.
+
+The GuideDepth upsampling pyramid runs 3x3/1x1 convs with 4-32 channels at
+half/full NYU resolution (``src/GuideDepth/model/modules.py:42-100``). On the
+MXU these waste almost all 128 lanes: measured on v5e, a 3x3 16->16 conv at
+480x640 costs 4.10 ms/batch16 while the mathematically identical packed
+64->64 conv at 240x320 costs 0.73 ms (scripts/bench_s2d.py) — the packed form
+pays 4x FLOPs for ~16x better lane utilization.
+
+"Packed" layout: a [B, H, W, C] tensor is represented as
+[B, H/b, W/b, b*b*C] where packed channel index = (sy*b + sx)*C + c — i.e.
+``space_to_depth`` with sub-pixel position slowest, original channel fastest.
+Every op below is an *exact* rearrangement of its unpacked counterpart (same
+math, different summation order), so model parameters and checkpoints are
+unchanged and torch golden parity is preserved.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def space_to_depth(x: jax.Array, block: int = 2) -> jax.Array:
+    b, h, w, c = x.shape
+    assert h % block == 0 and w % block == 0, (h, w, block)
+    x = x.reshape(b, h // block, block, w // block, block, c)
+    x = x.transpose(0, 1, 3, 2, 4, 5)  # B, H/b, W/b, sy, sx, c
+    return x.reshape(b, h // block, w // block, block * block * c)
+
+
+def depth_to_space(x: jax.Array, block: int = 2) -> jax.Array:
+    b, hp, wp, cp = x.shape
+    c = cp // (block * block)
+    x = x.reshape(b, hp, wp, block, block, c)
+    x = x.transpose(0, 1, 3, 2, 4, 5)  # B, H/b, sy, W/b, sx, c
+    return x.reshape(b, hp * block, wp * block, c)
+
+
+def packed_concat(tensors: Sequence[jax.Array], block: int = 2) -> jax.Array:
+    """Channel concat in packed layout: interleaves per sub-pixel position so
+    the result is the packing of ``concat(unpacked_tensors)``."""
+    b2 = block * block
+    parts = [t.reshape(*t.shape[:-1], b2, t.shape[-1] // b2) for t in tensors]
+    cat = jnp.concatenate(parts, axis=-1)
+    return cat.reshape(*cat.shape[:-2], b2 * cat.shape[-1])
+
+
+@functools.lru_cache(maxsize=None)
+def _pack_map(k: int, block: int) -> Tuple[np.ndarray, int]:
+    """Constant 0/1 scatter map M[P, Q, s, d, u, v] from an unpacked [k,k]
+    kernel tap (u, v) between sub-positions s=(sy,sx) -> d=(dy,dx) to packed
+    kernel position (P, Q). Returns (M, pad) with the packed kernel sized
+    [kp, kp] and symmetric zero-padding ``pad`` reproducing the unpacked
+    conv's k//2 zero-padding exactly.
+    """
+    half = k // 2
+    offs = [d + u - half for d in range(block) for u in range(k)]
+    pmin = min(o // block for o in offs)
+    pmax = max(o // block for o in offs)
+    kp = pmax - pmin + 1
+    b2 = block * block
+    m = np.zeros((kp, kp, b2, b2, k, k), np.float32)
+    for dy in range(block):
+        for u in range(k):
+            oy = dy + u - half
+            py, sy = oy // block, oy % block
+            for dx in range(block):
+                for v in range(k):
+                    ox = dx + v - half
+                    px, sx = ox // block, ox % block
+                    m[py - pmin, px - pmin,
+                      sy * block + sx, dy * block + dx, u, v] = 1.0
+    assert -pmin == pmax or k == 1, (pmin, pmax)
+    return m, -pmin
+
+
+def pack_conv_kernel(w: jax.Array, block: int = 2) -> Tuple[jax.Array, int]:
+    """Transform an unpacked HWIO kernel [k,k,Cin,Cout] into the packed-space
+    kernel [kp,kp,b2*Cin,b2*Cout] (plus the packed zero-padding) such that
+
+        conv(x, w, pad=k//2) == depth_to_space(conv(space_to_depth(x), wp, pad))
+
+    exactly (the packed kernel is a sparse-structured dense rearrangement; no
+    value changes). Zero-padding carries over exactly because every packed
+    kernel entry that would read beyond one original pad row/col is zero.
+    """
+    k, _, cin, cout = w.shape
+    m, pad = _pack_map(k, block)
+    b2 = block * block
+    # [kp,kp,s,d,u,v] x [u,v,ci,co] -> [kp,kp,s,ci,d,co]
+    wp = jnp.einsum("PQsduv,uvio->PQsido", jnp.asarray(m, w.dtype), w)
+    kp = wp.shape[0]
+    return wp.reshape(kp, kp, b2 * cin, b2 * cout), pad
+
+
+def packed_conv(x: jax.Array, w: jax.Array, block: int = 2,
+                precision=None) -> jax.Array:
+    """Packed-space conv equivalent to ``conv(unpacked_x, w, pad=k//2)``."""
+    wp, pad = pack_conv_kernel(w, block)
+    return jax.lax.conv_general_dilated(
+        x, wp.astype(x.dtype), (1, 1), [(pad, pad), (pad, pad)],
+        dimension_numbers=("NHWC", "HWIO", "NHWC"), precision=precision,
+    )
+
+
+def tile_channel(v: jax.Array, block: int = 2) -> jax.Array:
+    """Broadcast a per-original-channel vector [C] to packed channels
+    [b2*C] in (s, c) layout."""
+    return jnp.tile(v, block * block)
+
+
+def packed_channel_mean(x: jax.Array, block: int = 2) -> jax.Array:
+    """Global spatial mean per ORIGINAL channel of a packed tensor: [B, C].
+    Equals ``mean(unpacked, axis=(1,2))`` exactly (all pixels weighted
+    uniformly)."""
+    b2 = block * block
+    y = jnp.mean(x, axis=(1, 2))  # [B, b2*C]
+    return jnp.mean(y.reshape(y.shape[0], b2, -1), axis=1)
+
+
+def upsample2x_packed(x: jax.Array) -> jax.Array:
+    """``space_to_depth(upsample2x_bilinear(x), 2)`` without materializing the
+    upsampled tensor: [B,H,W,C] -> [B,H,W,4C] packed at resolution (2H,2W).
+
+    Taps match :func:`tpudepth.ops.image._upsample2x_axis` exactly
+    (align_corners=False, edge-clamped):
+      even = 0.25*prev + 0.75*x ; odd = 0.75*x + 0.25*next.
+    """
+
+    def shift(arr, axis, direction):
+        n = arr.shape[axis]
+        idx = [slice(None)] * arr.ndim
+        if direction < 0:  # prev: [x0, x0..x_{n-2}]
+            idx[axis] = slice(0, n - 1)
+            first = [slice(None)] * arr.ndim
+            first[axis] = slice(0, 1)
+            return jnp.concatenate([arr[tuple(first)], arr[tuple(idx)]], axis=axis)
+        idx[axis] = slice(1, n)
+        last = [slice(None)] * arr.ndim
+        last[axis] = slice(n - 1, n)
+        return jnp.concatenate([arr[tuple(idx)], arr[tuple(last)]], axis=axis)
+
+    even_h = 0.25 * shift(x, 1, -1) + 0.75 * x
+    odd_h = 0.75 * x + 0.25 * shift(x, 1, +1)
+    rows = []
+    for r in (even_h, odd_h):  # sy = 0, 1
+        rows.append(0.25 * shift(r, 2, -1) + 0.75 * r)  # sx = 0
+        rows.append(0.75 * r + 0.25 * shift(r, 2, +1))  # sx = 1
+    return jnp.concatenate(rows, axis=-1).astype(x.dtype)
