@@ -127,6 +127,9 @@ class GuideDepth(nn.Module):
     inner_features: Sequence[int] = (64, 32, 16)
     dtype: Optional[Any] = None
     packed: bool = True
+    # a stage packs while 4*expand stays within this channel budget (128 =
+    # one lane register; raising to 256 also packs the 64-ch quarter stage)
+    packed_max_channels: int = 128
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -146,7 +149,7 @@ class GuideDepth(nn.Module):
             guide = guides[i]
             gh, gw = guide.shape[1:3]
             use_pack = (
-                self.packed and 4 * inner[i] <= 128
+                self.packed and 4 * inner[i] <= self.packed_max_channels
                 and gh % 2 == 0 and gw % 2 == 0
             )
             gub = GuidedUpsamplingBlock(up[i], inner[i], outs[i],
