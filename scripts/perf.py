@@ -102,9 +102,12 @@ def main():
             target = recipe.target(de.astype(jnp.float32))
 
             def loss_fn(params):
+                from tpudepth.ops.attention import training_mode
+
                 v = {"params": params, "batch_stats": state.batch_stats}
-                pred, mut = model.apply(v, im.astype(jnp.bfloat16), train=True,
-                                        mutable=["batch_stats"])
+                with training_mode():
+                    pred, mut = model.apply(v, im.astype(jnp.bfloat16), train=True,
+                                            mutable=["batch_stats"])
                 pred = pred.astype(jnp.float32)
                 tgt = target
                 if pred.shape[1:3] != tgt.shape[1:3]:

@@ -176,3 +176,35 @@ def test_pallas_attention_grads_match_xla(rng, with_mask):
     np.testing.assert_allclose(np.asarray(dv), np.asarray(wv), rtol=1e-4, atol=1e-5)
     np.testing.assert_allclose(np.asarray(dbias), np.asarray(wbias), rtol=1e-4, atol=1e-4)
     assert dmask is None
+
+
+@pytest.mark.parametrize("with_mask", [False, True])
+def test_pallas_fused_backward_matches_xla(rng, with_mask):
+    """The fully-fused Pallas backward kernel (used on TPU) must match
+    autodiff of the XLA path: dq/dk/dv/dbias in one pass, p kept in VMEM."""
+    from tpudepth.ops.pallas.window_attn import window_attention_bwd_pallas
+
+    bw, heads, n, d = 8, 2, 49, 8
+    q = jnp.asarray(rng.standard_normal((bw, heads, n, d), dtype=np.float32))
+    k = jnp.asarray(rng.standard_normal((bw, heads, n, d), dtype=np.float32))
+    v = jnp.asarray(rng.standard_normal((bw, heads, n, d), dtype=np.float32))
+    bias = jnp.asarray(rng.standard_normal((heads, n, n), dtype=np.float32))
+    mask = (
+        jnp.asarray((rng.random((4, n, n)) > 0.5).astype(np.float32) * -100.0)
+        if with_mask
+        else None
+    )
+    g = jnp.asarray(rng.standard_normal((bw, heads, n, d), dtype=np.float32))
+
+    dq, dk, dv, dbias = window_attention_bwd_pallas(
+        q, k, v, bias, mask, g, interpret=True)
+
+    def loss_xla(q, k, v, bias):
+        return window_cross_attention_xla(q, k, v, bias, mask)
+
+    _, vjp = jax.vjp(loss_xla, q, k, v, bias)
+    wq, wk, wv, wbias = vjp(g)
+    np.testing.assert_allclose(np.asarray(dq), np.asarray(wq), rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(dk), np.asarray(wk), rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(dv), np.asarray(wv), rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(dbias), np.asarray(wbias), rtol=1e-4, atol=1e-4)

@@ -10,16 +10,37 @@ Two implementations with identical numerics:
 
 - ``window_cross_attention`` — pure XLA einsum path (batched onto the MXU by
   the compiler). Reference implementation, always available.
-- :mod:`tpudepth.ops.pallas.window_attn` — fused Pallas kernel that keeps
-  scores/softmax in VMEM; selected via ``use_pallas=True`` on TPU backends.
+- :mod:`tpudepth.ops.pallas.window_attn` — XLA einsum forward + fused Pallas
+  BACKWARD (scores/softmax stay in VMEM during the bwd pass); default on TPU.
+  A/B measured on v5e @480x640: inference identical to the XLA path by
+  construction, SAM train step 137.6 vs 130.4 img/s (+5.5%), and the fused
+  bwd is what lifted SAM training from round-1's 53 img/s.
 """
 
 from __future__ import annotations
 
+import contextlib
+import contextvars
 from typing import Optional
 
 import jax
 import jax.numpy as jnp
+
+#: Trace-time flag: True while a training step is being traced. The pallas
+#: kernel pair only wins when the fused backward is in play, so the default
+#: dispatch keys off this instead of forcing every model to thread `train`
+#: down to the attention call.
+_TRAINING = contextvars.ContextVar("tpudepth_attn_training", default=False)
+
+
+@contextlib.contextmanager
+def training_mode(on: bool = True):
+    """Mark subsequent (trace-time) attention calls as training-context."""
+    token = _TRAINING.set(on)
+    try:
+        yield
+    finally:
+        _TRAINING.reset(token)
 
 
 def window_cross_attention(
@@ -45,7 +66,13 @@ def window_cross_attention(
     Returns: [BW, heads, N, D] attention output.
     """
     if use_pallas is None:
-        use_pallas = jax.default_backend() == "tpu"
+        import os
+
+        env = os.environ.get("TPUDEPTH_ATTN")  # 'pallas' | 'xla' (A/B bench)
+        if env:
+            use_pallas = env == "pallas"
+        else:
+            use_pallas = jax.default_backend() == "tpu" and _TRAINING.get()
     if use_pallas:
         from tpudepth.ops.pallas.window_attn import window_attention
 
