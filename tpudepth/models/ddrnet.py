@@ -222,24 +222,33 @@ class DualResNetBackbone(nn.Module):
         l1 = _Stage(p, 2, in_planes=p, dtype=self.dtype, name="layer1")(h, train)
         l2 = _Stage(p * 2, 2, stride=2, in_planes=p, dtype=self.dtype, name="layer2")(
             relu(l1), train)
+        # The context branch (H/16 and deeper, incl. DAPPM's pyramid) runs
+        # with spatial sharding dropped: tiny shards are a perf loss AND the
+        # SPMD partitioner miscompiles fused backward passes at one row per
+        # device (core/mesh.py:despatialize). No-op off-mesh.
+        from tpudepth.core.mesh import despatialize
+
         l3 = _Stage(p * 4, 2, stride=2, in_planes=p * 2, dtype=self.dtype, name="layer3")(
             relu(l2), train)
+        l3 = despatialize(l3)
         x_ = _Stage(hp, 2, in_planes=p * 2, dtype=self.dtype, name="layer3_")(
             relu(l2), train)
 
-        xm = l3 + _ConvBN(p * 4, 3, 2, dtype=self.dtype, name="down3")(relu(x_), train)
+        xm = l3 + despatialize(
+            _ConvBN(p * 4, 3, 2, dtype=self.dtype, name="down3")(relu(x_), train))
         x_ = x_ + resize_bilinear(
             _ConvBN(hp, dtype=self.dtype, name="compression3")(relu(l3), train),
             size, align_corners=False)
 
         l4 = _Stage(p * 8, 2, stride=2, in_planes=p * 4, dtype=self.dtype, name="layer4")(
             relu(xm), train)
+        l4 = despatialize(l4)
         x_ = _Stage(hp, 2, in_planes=hp, dtype=self.dtype, name="layer4_")(relu(x_), train)
 
         # down4: two stride-2 convs with a relu between (DDRNet_23_slim.py:259-265)
         d4 = _ConvBN(p * 4, 3, 2, dtype=self.dtype, name="down4_a")(relu(x_), train)
         d4 = _ConvBN(p * 8, 3, 2, dtype=self.dtype, name="down4_b")(relu(d4), train)
-        xm = l4 + d4
+        xm = l4 + despatialize(d4)
         x_ = x_ + resize_bilinear(
             _ConvBN(hp, dtype=self.dtype, name="compression4")(relu(l4), train),
             size, align_corners=False)
@@ -247,10 +256,11 @@ class DualResNetBackbone(nn.Module):
         x_ = _Stage(hp, 1, in_planes=hp, bottleneck=True, dtype=self.dtype,
                     name="layer5_")(relu(x_), train)
 
-        l5 = _Stage(p * 8, 1, stride=2, in_planes=p * 8, bottleneck=True,
-                    dtype=self.dtype, name="layer5")(relu(xm), train)
+        l5 = despatialize(
+            _Stage(p * 8, 1, stride=2, in_planes=p * 8, bottleneck=True,
+                   dtype=self.dtype, name="layer5")(relu(xm), train))
         spp = DAPPM(self.spp_planes, p * 4, dtype=self.dtype, name="spp")(l5, train)
-        xm = resize_bilinear(spp, size, align_corners=False)
+        xm = resize_bilinear(despatialize(spp), size, align_corners=False)
 
         return SegmentHead(self.head_planes, self.features, dtype=self.dtype,
                            name="final_layer")(xm + x_, train)

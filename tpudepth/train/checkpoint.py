@@ -9,8 +9,10 @@ holding {'epoch', 'val_losses', 'model', 'optimizer', 'lr_scheduler'}
 Storage is orbax rather than torch pickles; saves go through a process-wide
 ``AsyncCheckpointer`` so training does not block on serialization (the
 reference's ``torch.save`` stalls the epoch loop). ``load_checkpoint`` and
-``wait_for_checkpoints`` barrier on in-flight saves, and an atexit hook
-guarantees durability at process exit. The torch->flax converter in
+``wait_for_checkpoints`` barrier on in-flight saves; ``Trainer.fit`` calls
+the barrier before returning (an atexit hook alone is NOT sufficient —
+CPython stops executor threads before atexit runs, after which orbax's
+commit futures cannot be scheduled). The torch->flax converter in
 :mod:`tpudepth.models.torch_import` covers importing the reference's actual
 ``.pth`` files for parity evals.
 """

@@ -158,25 +158,52 @@ def make_train_step(
     augment: bool = True,
     remat: bool = False,
     check_nans: bool = False,
+    depth_post_scale: float = 1.0,
+    mesh=None,
 ):
-    """Build the jitted train step: (state, image, depth, rng) -> (state, loss)."""
+    """Build the jitted train step: (state, image, depth, rng) -> (state, loss).
+
+    Batches may arrive as raw integer pixels (uint8 rgb, uint8/uint16 depth —
+    the loader's ``raw`` mode): normalization then runs on device, where it
+    fuses into the first conv / the augmentation, instead of costing a full
+    float expansion on the (single-core) host. ``depth_post_scale`` converts
+    raw 16-bit depth values to meters (KITTI: 1/256) and is ONLY applied to
+    integer-dtype depth — float batches were already scaled by the loader.
+    """
 
     apply_fn = model.apply
     if remat:
         apply_fn = jax.checkpoint(apply_fn, static_argnums=())
+    # losses/targets accumulate in f32 (model compute may be bf16); f64
+    # compute (CPU invariance tests) keeps the full chain in f64.
+    acc_dtype = jnp.float64 if compute_dtype == jnp.float64 else jnp.float32
 
     def step(state: TrainState, image: jax.Array, depth: jax.Array, rng: jax.Array):
+        if image.dtype == jnp.uint8:
+            image = image.astype(acc_dtype) * (1.0 / 255.0)
+        if depth.dtype == jnp.uint8:
+            depth = depth.astype(acc_dtype) * (depth_post_scale / 255.0)
+        elif depth.dtype == jnp.uint16:
+            depth = depth.astype(acc_dtype) * depth_post_scale
         if augment:
             image, depth = augment_batch(rng, image, depth)
-        target = recipe.target(depth.astype(jnp.float32))
+        target = recipe.target(depth.astype(acc_dtype))
 
         def loss_fn(params):
+            from tpudepth.core.mesh import mesh_context
+            from tpudepth.ops.attention import training_mode
+
             variables = {"params": params, "batch_stats": state.batch_stats}
-            pred, mutated = apply_fn(
-                variables, image.astype(compute_dtype), train=True,
-                mutable=["batch_stats"],
-            )
-            pred = pred.astype(jnp.float32)
+            # trace-time contexts: select the fused-bwd attention kernels and
+            # expose the mesh so deep stages can drop spatial sharding
+            # (core/mesh.py:despatialize — correctness AND perf under
+            # DP x spatial meshes)
+            with training_mode(), mesh_context(mesh):
+                pred, mutated = apply_fn(
+                    variables, image.astype(compute_dtype), train=True,
+                    mutable=["batch_stats"],
+                )
+            pred = pred.astype(acc_dtype)
             tgt = target
             if pred.shape[1:3] != tgt.shape[1:3]:
                 # decoder output may be half-res (DenseDepth family); align the
@@ -262,6 +289,8 @@ class Trainer:
         cfg = self.config
         init_rng, self._rng = jax.random.split(self._rng)
         x = jnp.asarray(sample_image[:1])
+        if x.dtype == jnp.uint8:  # raw-mode loader batch: init wants floats
+            x = x.astype(jnp.float32) / 255.0
         from tpudepth.models.registry import init_model
 
         variables = init_model(self.model, init_rng, x)
@@ -285,11 +314,17 @@ class Trainer:
         # replicate over the mesh
         rep = replicated(self.mesh)
         self.state = jax.device_put(state, rep)
+        raw_depth_scale = 1.0
+        if self.train_loader is not None:
+            ds = getattr(self.train_loader, "dataset", None)
+            raw_depth_scale = float(getattr(ds, "depth_post_scale", 1.0))
         self._train_step = make_train_step(
             self.model,
             self.recipe,
             compute_dtype=_dtype(cfg.compute_dtype),
             remat=cfg.remat,
+            depth_post_scale=raw_depth_scale,
+            mesh=self.mesh,
         )
         return self.state
 
@@ -514,6 +549,13 @@ class Trainer:
             elif checkpoint_style == "rolling":
                 self.save_rolling_checkpoint(epoch, train_avg)
         self.epoch = epochs
+        # Barrier on in-flight async checkpoint saves BEFORE returning: the
+        # atexit fallback runs after CPython shuts down executor threads, at
+        # which point orbax's commit futures can no longer be scheduled
+        # ("cannot schedule new futures after shutdown").
+        from tpudepth.train.checkpoint import wait_for_checkpoints
+
+        wait_for_checkpoints()
         if export_best:
             return self.export_best_model()
         return self.state
