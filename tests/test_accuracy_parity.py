@@ -50,7 +50,7 @@ def test_matched_training_losses_and_import_metrics(tmp_path):
     # pools are mostly padding and fp drift grows an order of magnitude.
     zp = make_synthetic_zip(str(tmp_path / "p.zip"), n_train=2 * STEPS, n_test=2,
                             image_hw=(96, 128))
-    train_loader, test_loader = get_training_testing_data(2, zp)
+    train_loader, test_loader = get_training_testing_data(2, zp, raw=False)
     train_loader.shuffle = False
     batches = list(train_loader)[:STEPS]
     test_batch = next(iter(test_loader))

@@ -158,3 +158,102 @@ def test_cache_respects_budget(synth_zip):
     data, train, _ = load_zip_to_mem(synth_zip)
     ds = NYUDepthDataset(data, train, cache_decoded=True, max_cache_gb=1e-9)
     assert ds._cache is None  # falls back to streaming
+
+
+def test_raw_loader_dtypes_and_cache(synth_zip):
+    """Raw mode: batches carry native integer pixels; cache hits are
+    byte-identical; float conversion parity with the host pipeline."""
+    from tpudepth.data.nyu import DataLoader, NYUDepthDataset, load_zip_to_mem
+
+    data, train, _ = load_zip_to_mem(synth_zip)
+    ds = NYUDepthDataset(data, train, raw=True, cache_decoded=True)
+    ds_float = NYUDepthDataset(data, train)
+    loader = DataLoader(ds, batch_size=4, shuffle=False)
+    b1 = next(iter(loader))            # decode + cache fill
+    assert b1["image"].dtype == np.uint8
+    assert b1["depth"].dtype == np.uint8  # 8-bit synthetic depth
+    b2 = next(iter(loader))            # pure cache hit
+    np.testing.assert_array_equal(b1["image"], b2["image"])
+    np.testing.assert_array_equal(b1["depth"], b2["depth"])
+    bf = ds_float.get_batch(range(4))
+    np.testing.assert_allclose(
+        b1["image"].astype(np.float32) / 255.0, bf["image"], atol=1e-6)
+    np.testing.assert_allclose(
+        b1["depth"].astype(np.float32) / 255.0, bf["depth"], atol=1e-6)
+
+
+def test_raw_uint16_depth_roundtrip(tmp_path):
+    """16-bit png depth survives the raw path with exact values (the /256
+    KITTI scaling belongs to the device-side conversion, not the loader)."""
+    import io
+    import zipfile
+
+    from PIL import Image
+
+    from tpudepth.data.nyu import NYUDepthDataset, load_zip_to_mem
+
+    d = np.zeros((8, 16), np.uint16)
+    d[1, 1] = 5120
+    d[2, 3] = 65535
+    buf = io.BytesIO()
+    Image.fromarray(d, "I;16").save(buf, "PNG")
+    ibuf = io.BytesIO()
+    Image.fromarray(np.zeros((8, 16, 3), np.uint8), "RGB").save(ibuf, "JPEG")
+    zp = tmp_path / "u16.zip"
+    with zipfile.ZipFile(zp, "w") as zf:
+        zf.writestr("data/x/a.jpg", ibuf.getvalue())
+        zf.writestr("data/x/a.png", buf.getvalue())
+        zf.writestr("data/nyu2_train.csv", "data/x/a.jpg,data/x/a.png\n")
+        zf.writestr("data/nyu2_test.csv", "data/x/a.jpg,data/x/a.png\n")
+    data, train, _ = load_zip_to_mem(str(zp))
+    ds = NYUDepthDataset(data, train, raw=True, depth_post_scale=1.0 / 256.0)
+    b = ds.get_batch([0])
+    assert b["depth"].dtype == np.uint16
+    assert b["depth"][0, 1, 1, 0] == 5120
+    assert b["depth"][0, 2, 3, 0] == 65535
+
+
+def test_train_step_raw_matches_float():
+    """One optimizer step from identical init must agree between a float
+    batch and its raw-uint8 twin (device-side /255 conversion path)."""
+    import jax
+    import jax.numpy as jnp
+
+    from tpudepth.core.config import TrainConfig
+    from tpudepth.models import build_model
+    from tpudepth.train.trainer import (
+        LossRecipe, TrainState, make_optimizer, make_train_step,
+    )
+
+    rng = np.random.default_rng(0)
+    img_u8 = rng.integers(0, 256, (2, 64, 64, 3), dtype=np.uint8)
+    dep_u8 = rng.integers(1, 256, (2, 64, 64, 1), dtype=np.uint8)
+    raw_b = {"image": img_u8, "depth": dep_u8}
+    float_b = {
+        "image": img_u8.astype(np.float32) / 255.0,
+        "depth": dep_u8.astype(np.float32) / 255.0,
+    }
+
+    model = build_model("GuideDepth-S")
+    variables = jax.device_get(
+        model.init(jax.random.PRNGKey(0),
+                   jnp.asarray(float_b["image"][:1]), train=False))
+    cfg = TrainConfig(compute_dtype="float32")
+    recipe = LossRecipe(kind="alhashim", max_depth=10.0, depth_scale=10.0)
+    losses = {}
+    for name, b in {"float": float_b, "raw": raw_b}.items():
+        tx = make_optimizer(cfg, steps_per_epoch=10)
+        params = jax.tree_util.tree_map(jnp.asarray, variables["params"])
+        state = TrainState(
+            step=jnp.zeros((), jnp.int32), params=params,
+            batch_stats=variables.get("batch_stats", {}),
+            opt_state=tx.init(params), tx=tx, apply_fn=model.apply,
+        )
+        step = make_train_step(model, recipe, compute_dtype=jnp.float32,
+                               augment=False)
+        _, loss = step(state, jnp.asarray(b["image"]),
+                       jnp.asarray(b["depth"]), jax.random.PRNGKey(0))
+        losses[name] = float(loss)
+    # x*(1/255) on device vs x/255 on host differ by <=1 ulp per pixel;
+    # through the net that accumulates to ~1e-6 relative.
+    assert abs(losses["float"] - losses["raw"]) < 1e-4 * abs(losses["float"]), losses

@@ -45,7 +45,7 @@ def test_kitti_decode_semantics(tmp_path):
                     "data/kitti_train/a.jpg,data/kitti_train/a.png\n")
         zf.writestr("data/kitti_test.csv",
                     "data/kitti_train/a.jpg,data/kitti_train/a.png\n")
-    train, _ = get_training_testing_data(1, str(zp), dataset="kitti")
+    train, _ = get_training_testing_data(1, str(zp), dataset="kitti", raw=False)
     batch = next(iter(train))
     dep = batch["depth"]
     assert dep.dtype == np.float32
@@ -54,7 +54,7 @@ def test_kitti_decode_semantics(tmp_path):
 
 
 def test_kitti_loader_yields_meters(kitti_zip):
-    train, test = get_training_testing_data(2, kitti_zip, dataset="kitti")
+    train, test = get_training_testing_data(2, kitti_zip, dataset="kitti", raw=False)
     batch = next(iter(train))
     d = batch["depth"]
     assert d.min() >= 0.0 and 1.5 < d[d > 0].min() < 3.0

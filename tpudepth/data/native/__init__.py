@@ -61,6 +61,15 @@ def get_lib() -> Optional[ctypes.CDLL]:
             ctypes.POINTER(ctypes.c_float),
             ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
         ]
+        lib.tpudepth_decode_batch_raw.restype = ctypes.c_int
+        lib.tpudepth_decode_batch_raw.argtypes = [
+            ctypes.POINTER(ctypes.c_char_p),
+            ctypes.POINTER(ctypes.c_size_t),
+            ctypes.c_int,
+            ctypes.c_void_p,
+            ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+            ctypes.c_int,
+        ]
         lib.tpudepth_probe.restype = ctypes.c_int
         lib.tpudepth_probe.argtypes = [
             ctypes.c_char_p, ctypes.c_size_t,
@@ -105,6 +114,31 @@ def decode_batch(
         arr_bufs, arr_sizes, n,
         out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
         h, w, c, nthreads,
+    )
+    if rc != 0:
+        return None
+    return out
+
+
+def decode_batch_raw(
+    bufs: List[bytes], h: int, w: int, c: int, bit_depth: int, nthreads: int = 0
+) -> Optional[np.ndarray]:
+    """Decode into raw integer pixels: uint8 [n,h,w,c] for 8-bit sources,
+    uint16 for 16-bit PNG. Normalization (/255, /256) is the device's job —
+    this keeps the single-core host path to a pure decode + memcpy."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    n = len(bufs)
+    if nthreads <= 0:
+        nthreads = min(n, os.cpu_count() or 8)
+    dtype = np.uint16 if bit_depth == 16 else np.uint8
+    out = np.empty((n, h, w, c), dtype=dtype)
+    arr_bufs = (ctypes.c_char_p * n)(*bufs)
+    arr_sizes = (ctypes.c_size_t * n)(*[len(b) for b in bufs])
+    rc = lib.tpudepth_decode_batch_raw(
+        arr_bufs, arr_sizes, n, out.ctypes.data_as(ctypes.c_void_p),
+        h, w, c, bit_depth, nthreads,
     )
     if rc != 0:
         return None

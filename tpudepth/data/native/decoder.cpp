@@ -155,6 +155,109 @@ bool is_jpeg(const uint8_t* buf, size_t size) {
   return size >= 3 && buf[0] == 0xFF && buf[1] == 0xD8 && buf[2] == 0xFF;
 }
 
+// ---------------------------------------------------------------------------
+// Raw (integer) decode variants. The float conversion above costs 4x the
+// memory traffic of the pixels themselves; at TPU train rates with a single
+// host core (this machine), moving /255 onto the device is the difference
+// between a host-bound and a device-bound pipeline. These write the decoded
+// bytes verbatim: uint8 for 8-bit sources, uint16 for 16-bit PNG depth.
+// ---------------------------------------------------------------------------
+
+int decode_jpeg_one_u8(const uint8_t* buf, size_t size, uint8_t* out, int h,
+                       int w, int c) {
+  jpeg_decompress_struct cinfo;
+  JpegErrorMgr jerr;
+  cinfo.err = jpeg_std_error(&jerr.pub);
+  jerr.pub.error_exit = jpeg_error_exit;
+  if (setjmp(jerr.setjmp_buffer)) {
+    jpeg_destroy_decompress(&cinfo);
+    return 1;
+  }
+  jpeg_create_decompress(&cinfo);
+  jpeg_mem_src(&cinfo, const_cast<uint8_t*>(buf),
+               static_cast<unsigned long>(size));
+  jpeg_read_header(&cinfo, TRUE);
+  cinfo.out_color_space = (c == 1) ? JCS_GRAYSCALE : JCS_RGB;
+  jpeg_start_decompress(&cinfo);
+  if (static_cast<int>(cinfo.output_height) != h ||
+      static_cast<int>(cinfo.output_width) != w ||
+      static_cast<int>(cinfo.output_components) != c) {
+    jpeg_abort_decompress(&cinfo);
+    jpeg_destroy_decompress(&cinfo);
+    return 2;
+  }
+  while (cinfo.output_scanline < cinfo.output_height) {
+    uint8_t* dst = out + static_cast<size_t>(cinfo.output_scanline) * w * c;
+    jpeg_read_scanlines(&cinfo, &dst, 1);
+  }
+  jpeg_finish_decompress(&cinfo);
+  jpeg_destroy_decompress(&cinfo);
+  return 0;
+}
+
+// 8-bit sources -> uint8 out; 16-bit PNG -> uint16 out (host-endian values).
+// `want_bits` must match the file's decoded bit depth.
+int decode_png_one_raw(const uint8_t* buf, size_t size, void* out, int h,
+                       int w, int c, int want_bits) {
+  png_structp png =
+      png_create_read_struct(PNG_LIBPNG_VER_STRING, nullptr, nullptr, nullptr);
+  if (!png) return 1;
+  png_infop info = png_create_info_struct(png);
+  if (!info) {
+    png_destroy_read_struct(&png, nullptr, nullptr);
+    return 1;
+  }
+  if (setjmp(png_jmpbuf(png))) {
+    png_destroy_read_struct(&png, &info, nullptr);
+    return 1;
+  }
+  PngReadState state{buf, size, 0};
+  png_set_read_fn(png, &state, png_read_fn);
+  png_read_info(png, info);
+
+  int width = png_get_image_width(png, info);
+  int height = png_get_image_height(png, info);
+  int bit_depth = png_get_bit_depth(png, info);
+  int color_type = png_get_color_type(png, info);
+
+  if (height != h || width != w) {
+    png_destroy_read_struct(&png, &info, nullptr);
+    return 2;
+  }
+  if (color_type == PNG_COLOR_TYPE_PALETTE) png_set_palette_to_rgb(png);
+  if (color_type == PNG_COLOR_TYPE_GRAY && bit_depth < 8)
+    png_set_expand_gray_1_2_4_to_8(png);
+  png_set_strip_alpha(png);
+  png_read_update_info(png, info);
+  bit_depth = png_get_bit_depth(png, info);
+
+  int channels = png_get_channels(png, info);
+  if (channels != c || bit_depth != want_bits) {
+    png_destroy_read_struct(&png, &info, nullptr);
+    return 2;
+  }
+
+  size_t rowbytes = png_get_rowbytes(png, info);
+  if (bit_depth == 16) {
+    std::vector<uint8_t> row(rowbytes);
+    uint16_t* out16 = static_cast<uint16_t*>(out);
+    for (int y = 0; y < h; ++y) {
+      png_read_row(png, row.data(), nullptr);
+      uint16_t* dst = out16 + static_cast<size_t>(y) * w * c;
+      for (int i = 0; i < w * c; ++i) {
+        dst[i] = static_cast<uint16_t>((row[2 * i] << 8) | row[2 * i + 1]);
+      }
+    }
+  } else {
+    uint8_t* out8 = static_cast<uint8_t*>(out);
+    for (int y = 0; y < h; ++y) {
+      png_read_row(png, out8 + static_cast<size_t>(y) * w * c, nullptr);
+    }
+  }
+  png_destroy_read_struct(&png, &info, nullptr);
+  return 0;
+}
+
 }  // namespace
 
 extern "C" {
@@ -179,6 +282,52 @@ int tpudepth_decode_batch(const uint8_t** bufs, const size_t* sizes, int n,
         rc = decode_jpeg_one(bufs[i], sizes[i], out + i * stride, h, w, c);
       } else {
         rc = decode_png_one(bufs[i], sizes[i], out + i * stride, h, w, c);
+      }
+      if (rc != 0) {
+        int expected = 0;
+        status.compare_exchange_strong(expected, rc);
+      }
+    }
+  };
+
+  std::vector<std::thread> threads;
+  threads.reserve(nthreads);
+  for (int t = 0; t < nthreads; ++t) threads.emplace_back(worker);
+  for (auto& th : threads) th.join();
+  return status.load();
+}
+
+// Raw integer batch decode: bit_depth 8 -> out is uint8 [n, h, w, c],
+// bit_depth 16 -> out is uint16 [n, h, w, c] (PNG only). No float conversion;
+// normalization (/255 etc.) happens on the accelerator.
+int tpudepth_decode_batch_raw(const uint8_t** bufs, const size_t* sizes, int n,
+                              void* out, int h, int w, int c, int bit_depth,
+                              int nthreads) {
+  if (bit_depth != 8 && bit_depth != 16) return 3;
+  if (nthreads < 1) nthreads = 1;
+  if (nthreads > n) nthreads = n;
+  std::atomic<int> next(0);
+  std::atomic<int> status(0);
+  const size_t stride = static_cast<size_t>(h) * w * c;
+
+  auto worker = [&]() {
+    while (true) {
+      int i = next.fetch_add(1);
+      if (i >= n) break;
+      int rc;
+      if (is_jpeg(bufs[i], sizes[i])) {
+        rc = (bit_depth == 8)
+                 ? decode_jpeg_one_u8(bufs[i], sizes[i],
+                                      static_cast<uint8_t*>(out) + i * stride,
+                                      h, w, c)
+                 : 3;
+      } else {
+        void* dst = (bit_depth == 16)
+                        ? static_cast<void*>(static_cast<uint16_t*>(out) +
+                                             i * stride)
+                        : static_cast<void*>(static_cast<uint8_t*>(out) +
+                                             i * stride);
+        rc = decode_png_one_raw(bufs[i], sizes[i], dst, h, w, c, bit_depth);
       }
       if (rc != 0) {
         int expected = 0;

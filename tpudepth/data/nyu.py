@@ -81,6 +81,24 @@ def _decode(buf: bytes) -> np.ndarray:
     return out
 
 
+def _decode_raw(buf: bytes) -> np.ndarray:
+    """PIL decode keeping native integer pixels: uint8 for 8-bit sources,
+    uint16 for 16-bit/'I' depth maps. The float conversion (/255 for 8-bit,
+    raw values for 16-bit — the ToTensor semantics above) happens on device
+    inside the jitted train step, which on this single-core host is the
+    difference between a host-bound and a device-bound input pipeline."""
+    img = Image.open(io.BytesIO(buf))
+    mode = img.mode
+    arr = np.asarray(img)
+    if mode in ("I", "I;16"):
+        out = arr.astype(np.uint16)
+    else:
+        out = arr.astype(np.uint8)
+    if out.ndim == 2:
+        out = out[:, :, None]
+    return out
+
+
 class NYUDepthDataset:
     """In-memory (rgb, depth) pair dataset (``depthDatasetMemory``,
     ``src/data.py:77-98``) with threaded batch decode."""
@@ -96,6 +114,7 @@ class NYUDepthDataset:
         cache_decoded: bool = False,
         max_cache_gb: float = 48.0,
         depth_post_scale: float = 1.0,
+        raw: bool = False,
     ):
         if num_shards > 1:
             pairs = list(pairs)[shard::num_shards]
@@ -105,17 +124,21 @@ class NYUDepthDataset:
         # (standard KITTI depth-completion convention; the reference's kitti
         # branch relies on its missing upstream data package for this).
         self.depth_post_scale = depth_post_scale
+        # raw mode: batches keep native integer pixels (uint8/uint16) and the
+        # /255 + depth scaling moves into the jitted train step on device.
+        self.raw = raw
         self._pool = ThreadPoolExecutor(max_workers=decode_workers)
         self._native_shapes = None  # ((h,w,c), (h,w,c)) for (rgb, depth)
+        self._native_bits = None  # (rgb_bit_depth, depth_bit_depth)
         if use_native and self.pairs:
             self._probe_native()
         # Optional decode-once cache: at TPU train rates the per-epoch JPEG
-        # decode is the host bottleneck (PERF.md); images are stored uint8 /
-        # depth uint16-as-float scale, re-expanded per batch.
+        # decode is the host bottleneck (PERF.md); pixels are stored in their
+        # native integer dtype (uint8 rgb, uint8/uint16 depth).
         self._cache = None
         if cache_decoded and self.pairs:
-            img0, dep0 = self.get(0)
-            bytes_per_sample = img0.size + dep0.size * 4
+            img0, dep0 = self.get_raw(0)
+            bytes_per_sample = img0.nbytes + dep0.nbytes
             total_gb = bytes_per_sample * len(self.pairs) / 1e9
             if total_gb <= max_cache_gb:
                 self._cache = {}
@@ -131,29 +154,55 @@ class NYUDepthDataset:
             dep = native.probe(self.data[self.pairs[0][1]])
             if rgb and dep:
                 self._native_shapes = (rgb[:3], dep[:3])
+                self._native_bits = (rgb[3], dep[3])
         except Exception:
             self._native_shapes = None
+            self._native_bits = None
 
     def __len__(self) -> int:
         return len(self.pairs)
 
     def get(self, idx: int) -> Tuple[np.ndarray, np.ndarray]:
+        """Float sample with reference ToTensor + depth scaling applied."""
         if self._cache is not None and idx in self._cache:
-            img_u8, dep = self._cache[idx]
-            return img_u8.astype(np.float32) / 255.0, dep.copy()
+            img_u8, dep_raw = self._cache[idx]
+            return self._to_float(img_u8), self._to_float(dep_raw, depth=True)
         rgb_name, depth_name = self.pairs[idx][0], self.pairs[idx][1]
+        if self._cache is not None:
+            img_raw, dep_raw = (
+                _decode_raw(self.data[rgb_name]),
+                _decode_raw(self.data[depth_name]),
+            )
+            self._cache[idx] = (img_raw, dep_raw)
+            return self._to_float(img_raw), self._to_float(dep_raw, depth=True)
         img = _decode(self.data[rgb_name])
         dep = _decode(self.data[depth_name])
         if self.depth_post_scale != 1.0:
             dep = dep * self.depth_post_scale
-        if self._cache is not None:
-            self._cache[idx] = (
-                np.round(img * 255.0).astype(np.uint8),
-                dep.astype(np.float32),
-            )
         return img, dep
 
+    def get_raw(self, idx: int) -> Tuple[np.ndarray, np.ndarray]:
+        """Native-integer sample (uint8 rgb, uint8/uint16 depth), unscaled."""
+        if self._cache is not None and idx in self._cache:
+            return self._cache[idx]
+        rgb_name, depth_name = self.pairs[idx][0], self.pairs[idx][1]
+        img = _decode_raw(self.data[rgb_name])
+        dep = _decode_raw(self.data[depth_name])
+        if self._cache is not None:
+            self._cache[idx] = (img, dep)
+        return img, dep
+
+    def _to_float(self, arr: np.ndarray, depth: bool = False) -> np.ndarray:
+        out = arr.astype(np.float32)
+        if arr.dtype == np.uint8:
+            out /= 255.0
+        if depth and self.depth_post_scale != 1.0:
+            out *= np.float32(self.depth_post_scale)
+        return out
+
     def get_batch(self, indices: Sequence[int]) -> Dict[str, np.ndarray]:
+        if self.raw:
+            return self.get_batch_raw(indices)
         if self._cache is not None:
             outs = list(self._pool.map(self.get, indices))
             return {
@@ -176,6 +225,35 @@ class NYUDepthDataset:
         images = np.stack([o[0] for o in outs])
         depths = np.stack([o[1] for o in outs])
         return {"image": images, "depth": depths}
+
+    def get_batch_raw(self, indices: Sequence[int]) -> Dict[str, np.ndarray]:
+        """Batch of native-integer pixels. Steady-state cost on a cache hit is
+        one uint8 stack (pure memcpy); the device does /255 and depth scaling
+        (``make_train_step``'s conversion block)."""
+        if self._cache is not None and all(i in self._cache for i in indices):
+            return {
+                "image": np.stack([self._cache[i][0] for i in indices]),
+                "depth": np.stack([self._cache[i][1] for i in indices]),
+            }
+        if self._native_shapes is not None:
+            from tpudepth.data import native
+
+            (ih, iw, ic), (dh, dw, dc) = self._native_shapes
+            ibits, dbits = self._native_bits
+            rgb_bufs = [self.data[self.pairs[i][0]] for i in indices]
+            dep_bufs = [self.data[self.pairs[i][1]] for i in indices]
+            images = native.decode_batch_raw(rgb_bufs, ih, iw, ic, ibits)
+            depths = native.decode_batch_raw(dep_bufs, dh, dw, dc, dbits)
+            if images is not None and depths is not None:
+                if self._cache is not None:
+                    for j, i in enumerate(indices):
+                        self._cache[i] = (images[j], depths[j])
+                return {"image": images, "depth": depths}
+        outs = list(self._pool.map(self.get_raw, indices))
+        return {
+            "image": np.stack([o[0] for o in outs]),
+            "depth": np.stack([o[1] for o in outs]),
+        }
 
 
 class DataLoader:
@@ -257,6 +335,17 @@ DATASET_LAYOUTS = {
 }
 
 
+def _available_ram_gb() -> float:
+    try:
+        with open("/proc/meminfo") as f:
+            for line in f:
+                if line.startswith("MemAvailable:"):
+                    return int(line.split()[1]) / 1e6
+    except OSError:
+        pass
+    return 0.0
+
+
 def get_training_testing_data(
     batch_size: int,
     zip_path: str = "CSVdata.zip",
@@ -264,13 +353,28 @@ def get_training_testing_data(
     shard: int = 0,
     num_shards: int = 1,
     dataset: str = "nyu_reduced",
+    raw: Optional[bool] = None,
+    cache: Optional[bool] = None,
 ) -> Tuple[DataLoader, DataLoader]:
     """``getTrainingTestingData`` parity (``src/data.py:171-179``): train
-    loader shuffled, test loader in csv order."""
+    loader shuffled, test loader in csv order.
+
+    TPU-first defaults: the TRAIN loader feeds raw integer batches (uint8
+    rgb / native-depth) with a decode-once RAM cache when it fits in half the
+    host's available memory — on this single-core host the device-side /255
+    is what keeps the input pipeline above the device train rate (PERF.md).
+    The val loader stays in float mode (metrics consume host floats).
+    """
     train_csv, test_csv, depth_scale = DATASET_LAYOUTS[dataset]
     data, train_pairs, test_pairs = load_zip_to_mem(zip_path, train_csv, test_csv)
+    if raw is None:
+        raw = True
+    if cache is None:
+        cache = True  # NYUDepthDataset falls back to streaming when too big
     train = NYUDepthDataset(data, train_pairs, shard, num_shards,
-                            depth_post_scale=depth_scale)
+                            depth_post_scale=depth_scale, raw=raw,
+                            cache_decoded=cache,
+                            max_cache_gb=_available_ram_gb() * 0.5)
     test = NYUDepthDataset(data, test_pairs, depth_post_scale=depth_scale)
     return (
         DataLoader(train, batch_size, shuffle=True, sharding=sharding),
