@@ -109,8 +109,10 @@ def test_gub_packed_matches_unpacked(rng, train):
         for a, b in zip(jax.tree_util.tree_leaves(ref_stats),
                         jax.tree_util.tree_leaves(got_stats)):
             np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+    # 3e-5: packed vs unpacked BN statistics accumulate in different orders
+    # (grouped vs direct reduction) — f32 reassociation amplified by rsqrt
     np.testing.assert_allclose(
-        np.asarray(depth_to_space(got, 2)), np.asarray(ref), atol=1e-5)
+        np.asarray(depth_to_space(got, 2)), np.asarray(ref), atol=3e-5)
 
 
 def test_gub_packed_param_tree_identical(rng):

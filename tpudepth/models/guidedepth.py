@@ -35,8 +35,24 @@ class SELayer(nn.Module):
     dtype: Optional[Any] = None
 
     @nn.compact
-    def __call__(self, x, packed: int = 0):
-        if packed:
+    def __call__(self, x, packed: int = 0, splits=None):
+        """``splits``: the input is a PLAIN channel concat of packed tensors
+        with these original channel counts (cheap-layout alternative to
+        packed_concat — see ops/packed.py). The squeeze/excite then works per
+        part; fc params are identical to the packed_concat form because the
+        squeezed vector is in original-channel order either way."""
+        if packed and splits:
+            from tpudepth.ops.packed import packed_channel_mean
+
+            b2 = packed * packed
+            c = x.shape[-1] // b2
+            offs = [0]
+            for cj in splits:
+                offs.append(offs[-1] + b2 * cj)
+            parts = [x[..., offs[j]:offs[j + 1]] for j in range(len(splits))]
+            y = jnp.concatenate(
+                [packed_channel_mean(p, packed) for p in parts], axis=-1)
+        elif packed:
             from tpudepth.ops.packed import packed_channel_mean
 
             c = x.shape[-1] // (packed * packed)
@@ -50,7 +66,15 @@ class SELayer(nn.Module):
         y = nn.Dense(c, use_bias=False, dtype=self.dtype,
                      param_dtype=jnp.float32, name="fc2")(y)
         y = jax.nn.sigmoid(y)
-        if packed:
+        if packed and splits:
+            b2 = packed * packed
+            offs = [0]
+            for cj in splits:
+                offs.append(offs[-1] + cj)
+            y = jnp.concatenate(
+                [jnp.tile(y[:, offs[j]:offs[j + 1]], (1, b2))
+                 for j in range(len(splits))], axis=-1)
+        elif packed:
             y = jnp.tile(y, (1, packed * packed))
         return x * y[:, None, None, :]
 
@@ -61,9 +85,10 @@ class _ConvBNRelu(nn.Module):
     dtype: Optional[Any] = None
 
     @nn.compact
-    def __call__(self, x, train: bool, packed: int = 0):
+    def __call__(self, x, train: bool, packed: int = 0, input_splits=None):
         x = Conv(self.features, self.kernel, padding=(self.kernel - 1) // 2,
-                 use_bias=True, dtype=self.dtype, name="conv")(x, packed=packed)
+                 use_bias=True, dtype=self.dtype, name="conv")(
+            x, packed=packed, input_splits=input_splits)
         x = BatchNorm(_BN_MOM, _BN_EPS, dtype=self.dtype, name="bn")(
             x, train, packed=packed)
         return relu(x)
@@ -97,16 +122,18 @@ class GuidedUpsamplingBlock(nn.Module):
         y = _ConvBNRelu(ef, self.kernel_size, dtype=self.dtype, name="guide_conv_a")(guide, train, packed)
         y = _ConvBNRelu(ef // 2, 1, dtype=self.dtype, name="guide_conv_b")(y, train, packed)
 
-        if packed:
-            from tpudepth.ops.packed import packed_concat
-
-            xy = packed_concat([x, y], packed)
-        else:
-            xy = jnp.concatenate([x, y], axis=-1)
+        # Plain channel concat even when packed: the interleaving
+        # packed_concat reshapes cost ~4 ms per occurrence in hostile XLA
+        # layouts (PERF.md round 2); instead the SE squeeze works per part
+        # and comb_conv_a's packed kernel re-indexes its input channels.
+        xy = jnp.concatenate([x, y], axis=-1)
+        splits = (ef // 2, ef // 2) if packed else None
         if self.channel_attention:
-            xy = SELayer(reduction=1, dtype=self.dtype, name="SE_block")(xy, packed=packed)
+            xy = SELayer(reduction=1, dtype=self.dtype, name="SE_block")(
+                xy, packed=packed, splits=splits)
 
-        r = _ConvBNRelu(ef, self.kernel_size, dtype=self.dtype, name="comb_conv_a")(xy, train, packed)
+        r = _ConvBNRelu(ef, self.kernel_size, dtype=self.dtype, name="comb_conv_a")(
+            xy, train, packed, input_splits=splits)
         r = _ConvBNRelu(self.in_features, 1, dtype=self.dtype, name="comb_conv_b")(r, train, packed)
 
         return Conv(self.out_features, 1, padding=0, use_bias=True, dtype=self.dtype,

@@ -15,6 +15,7 @@ from typing import Any, Callable, Optional, Sequence, Tuple, Union
 import flax.linen as nn
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 Dtype = Any
 
@@ -72,10 +73,17 @@ class _PackedConvInner(nn.Module):
     block: int
     use_bias: bool
     dtype: Optional[Dtype] = None
+    #: When the input is a PLAIN concat of packed tensors with these original
+    #: channel counts (instead of a packed_concat), reorder the packed
+    #: kernel's input channels to match — the big activation never gets
+    #: reshuffled (see ops/packed.concat_input_perm).
+    input_splits: Optional[Tuple[int, ...]] = None
 
     @nn.compact
     def __call__(self, xp):
-        from tpudepth.ops.packed import pack_conv_kernel, tile_channel
+        from tpudepth.ops.packed import (
+            concat_input_perm, pack_conv_kernel, tile_channel,
+        )
 
         b2 = self.block * self.block
         cin = xp.shape[-1] // b2
@@ -86,6 +94,10 @@ class _PackedConvInner(nn.Module):
         )
         dt = self.dtype or xp.dtype
         wp, pad = pack_conv_kernel(kernel, self.block)
+        if self.input_splits is not None:
+            q = concat_input_perm(tuple(self.input_splits), self.block)
+            # out = sum_i packed[i] * wp[i] = sum_m plain[m] * wp[q^-1[m]]
+            wp = wp[:, :, np.argsort(q), :]
         y = jax.lax.conv_general_dilated(
             xp.astype(dt), wp.astype(dt), (1, 1), [(pad, pad), (pad, pad)],
             dimension_numbers=("NHWC", "HWIO", "NHWC"),
@@ -114,13 +126,15 @@ class Conv(nn.Module):
     dtype: Optional[Dtype] = None
 
     @nn.compact
-    def __call__(self, x, packed: int = 0):
+    def __call__(self, x, packed: int = 0, input_splits=None):
         if packed:
             assert self.stride == 1 and self.groups == 1
             assert self.padding == (self.kernel_size - 1) // 2
             return _PackedConvInner(
                 self.features, self.kernel_size, packed, self.use_bias,
-                dtype=self.dtype, name="Conv_0",
+                dtype=self.dtype,
+                input_splits=tuple(input_splits) if input_splits else None,
+                name="Conv_0",
             )(x)
         pad = self.padding
         if isinstance(pad, int):
@@ -195,7 +209,10 @@ class _PackedBatchNormInner(nn.Module):
         from tpudepth.ops.packed import tile_channel
 
         # same op order as flax nn.BatchNorm._normalize (promote to dtype,
-        # y = (x - mean) * (rsqrt(var + eps) * scale) + bias)
+        # y = (x - mean) * (rsqrt(var + eps) * scale) + bias).
+        # NOTE (PERF.md round 2): reformulating these channel stats as MXU
+        # dots was tried and REGRESSED (134.5 -> 119.7 img/s) — XLA keeps
+        # the layout copies and the extra dot passes just add HBM traffic.
         dt = self.dtype or xp.dtype
         y = xp.astype(dt) - tile_channel(mean.astype(dt), self.block)
         mul = jax.lax.rsqrt(var.astype(dt) + jnp.asarray(self.eps, dt))

@@ -43,11 +43,38 @@ def depth_to_space(x: jax.Array, block: int = 2) -> jax.Array:
 
 def packed_concat(tensors: Sequence[jax.Array], block: int = 2) -> jax.Array:
     """Channel concat in packed layout: interleaves per sub-pixel position so
-    the result is the packing of ``concat(unpacked_tensors)``."""
+    the result is the packing of ``concat(unpacked_tensors)``.
+
+    PERF WARNING: the interleaving reshapes on the full activation force
+    XLA:TPU into hostile layouts around neighbouring convs (measured 3.7x on
+    a conv chain, PERF.md round 2). Prefer a PLAIN ``jnp.concatenate`` and
+    push the channel reorder into the consuming conv's (tiny) kernel via
+    :func:`concat_input_perm` — that is what GuidedUpsamplingBlock does."""
     b2 = block * block
     parts = [t.reshape(*t.shape[:-1], b2, t.shape[-1] // b2) for t in tensors]
     cat = jnp.concatenate(parts, axis=-1)
     return cat.reshape(*cat.shape[:-2], b2 * cat.shape[-1])
+
+
+@functools.lru_cache(maxsize=None)
+def concat_input_perm(splits: Tuple[int, ...], block: int) -> np.ndarray:
+    """Permutation ``q`` with ``packed_concat(parts)[..., i] ==
+    plain_concat(parts)[..., q[i]]`` for packed parts with ``splits`` ORIGINAL
+    channels each. Lets consumers of a packed concat take the cheap plain
+    concat and re-index their own (small) weights instead of reshuffling the
+    big activation tensor."""
+    b2 = block * block
+    total = sum(splits)
+    q = np.empty(b2 * total, np.int64)
+    off_c = 0
+    off_p = 0
+    for cj in splits:
+        for s in range(b2):
+            q[s * total + off_c : s * total + off_c + cj] = (
+                off_p + s * cj + np.arange(cj))
+        off_c += cj
+        off_p += b2 * cj
+    return q
 
 
 @functools.lru_cache(maxsize=None)
