@@ -41,3 +41,93 @@ def test_depth_norm_and_clip():
     out = clip_predictions(np.asarray([0.5, 2.0, 1000.0]))
     # clip(1000/p, 10, 1000)/1000
     np.testing.assert_allclose(out, [1.0, 0.5, 0.01])
+
+
+def test_import_keras_sequential_end_to_end():
+    """The reference's positional walk (load_weight_from_keras.py:47-83)
+    retargeted at flax: conv kernel/bias, BN gamma/beta/mean/var consumed in
+    keras get_weights() order, landing in params + batch_stats."""
+    import flax.linen as nn
+    import jax
+    import jax.numpy as jnp
+
+    from tpudepth.models.keras_import import import_keras_sequential
+
+    class Tiny(nn.Module):
+        @nn.compact
+        def __call__(self, x, train=False):
+            x = nn.Conv(8, (3, 3), padding="SAME")(x)
+            x = nn.BatchNorm(use_running_average=not train)(x)
+            x = nn.relu(x)
+            x = nn.Conv(4, (1, 1))(x)
+            return x
+
+    model = Tiny()
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.random((1, 8, 8, 3)), jnp.float32)
+    variables = model.init(jax.random.PRNGKey(0), x)
+
+    # keras get_weights() order: conv1 k, conv1 b, gamma, beta, mean, var,
+    # conv2 k, conv2 b
+    wl = [
+        rng.random((3, 3, 3, 8)).astype(np.float32),
+        rng.random(8).astype(np.float32),
+        rng.random(8).astype(np.float32) + 0.5,
+        rng.random(8).astype(np.float32),
+        rng.random(8).astype(np.float32),
+        rng.random(8).astype(np.float32) + 0.1,
+        rng.random((1, 1, 8, 4)).astype(np.float32),
+        rng.random(4).astype(np.float32),
+    ]
+    new = import_keras_sequential(
+        wl, variables, layer_order=["Conv_0", "BatchNorm_0", "Conv_1"])
+    p = new["params"]
+    np.testing.assert_array_equal(p["Conv_0"]["kernel"], wl[0])
+    np.testing.assert_array_equal(p["Conv_0"]["bias"], wl[1])
+    np.testing.assert_array_equal(p["BatchNorm_0"]["scale"], wl[2])
+    np.testing.assert_array_equal(p["BatchNorm_0"]["bias"], wl[3])
+    np.testing.assert_array_equal(new["batch_stats"]["BatchNorm_0"]["mean"], wl[4])
+    np.testing.assert_array_equal(new["batch_stats"]["BatchNorm_0"]["var"], wl[5])
+    np.testing.assert_array_equal(p["Conv_1"]["kernel"], wl[6])
+    np.testing.assert_array_equal(p["Conv_1"]["bias"], wl[7])
+
+    # imported weights drive the forward (eval BN uses imported stats)
+    y = model.apply(new, x)
+    want = np.asarray(x)
+    k, b = wl[0], wl[1]
+    # manual reference forward
+    conv1 = jax.lax.conv_general_dilated(
+        jnp.asarray(want), jnp.asarray(k), (1, 1), "SAME",
+        dimension_numbers=("NHWC", "HWIO", "NHWC")) + b
+    xn = (conv1 - wl[4]) / np.sqrt(wl[5] + 1e-5) * wl[2] + wl[3]
+    xr = np.maximum(np.asarray(xn), 0)
+    conv2 = jax.lax.conv_general_dilated(
+        jnp.asarray(xr), jnp.asarray(wl[6]), (1, 1), "VALID",
+        dimension_numbers=("NHWC", "HWIO", "NHWC")) + wl[7]
+    np.testing.assert_allclose(np.asarray(y), np.asarray(conv2),
+                               rtol=1e-4, atol=1e-5)
+
+
+def test_import_keras_sequential_errors():
+    import flax.linen as nn
+    import jax
+    import jax.numpy as jnp
+    import pytest
+
+    from tpudepth.models.keras_import import import_keras_sequential
+
+    class M(nn.Module):
+        @nn.compact
+        def __call__(self, x):
+            return nn.Dense(4)(x)
+
+    v = M().init(jax.random.PRNGKey(0), jnp.zeros((1, 3)))
+    with pytest.raises(ValueError, match="exhausted"):
+        import_keras_sequential([np.zeros((3, 4), np.float32)], v)
+    with pytest.raises(ValueError, match="mismatch"):
+        import_keras_sequential(
+            [np.zeros((5, 4), np.float32), np.zeros(4, np.float32)], v)
+    with pytest.raises(ValueError, match="unconsumed"):
+        import_keras_sequential(
+            [np.zeros((3, 4), np.float32), np.zeros(4, np.float32),
+             np.zeros(4, np.float32)], v)

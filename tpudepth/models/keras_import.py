@@ -73,3 +73,84 @@ def my_depth_norm(x, max_depth: float = 1000.0):
 def clip_predictions(pred, min_depth: float = 10.0, max_depth: float = 1000.0):
     """Reference prediction post-processing (``src/load_weight_from_keras.py:92-100``)."""
     return np.clip(my_depth_norm(pred, max_depth), min_depth, max_depth) / max_depth
+
+
+def import_keras_sequential(weights, variables, layer_order=None):
+    """The reference's positional import walk, retargeted at a flax tree.
+
+    ``src/load_weight_from_keras.py:47-83`` iterates the torch model's
+    parameters IN ORDER and consumes the Keras ``model.get_weights()`` list
+    positionally: conv weights get transposed (3,2,0,1), conv biases copied,
+    and each norm 'bias' additionally consumes running mean + var. Flax conv
+    kernels are already HWIO (= Keras layout), so the walk here is: traverse
+    ``variables['params']`` in network order; a 'kernel' consumes one Keras
+    array as-is (Dense is (in, out) in both frameworks too); a BatchNorm
+    'scale' consumes gamma and its 'bias' consumes beta + moving_mean +
+    moving_var into ``batch_stats``.
+
+    Flax dicts iterate ALPHABETICALLY, which is neither definition order at
+    the module level (BatchNorm_0 < Conv_0) nor inside a module (bias <
+    kernel). Inside a module the known keras order is enforced
+    (kernel/scale before bias); across modules pass ``layer_order`` — the
+    top-level submodule names in network order — when alphabetical order is
+    not the network order.
+
+    Args:
+      weights: the flat ``model.get_weights()``-order list of arrays.
+      variables: flax variables dict with 'params' (and optionally
+        'batch_stats') whose structure to fill.
+      layer_order: optional sequence of top-level keys in network order.
+
+    Returns a NEW variables dict; raises ValueError on shape mismatch or
+    leftover weights, like ``load_state_dict`` would.
+    """
+    import jax
+
+    params = jax.tree_util.tree_map(np.asarray, variables["params"])
+    stats = jax.tree_util.tree_map(
+        np.asarray, variables.get("batch_stats", {}))
+    it = iter(list(weights))
+
+    _LEAF_PRIORITY = {"kernel": 0, "scale": 0, "bias": 1}
+
+    def take(shape):
+        try:
+            w = np.asarray(next(it))
+        except StopIteration:
+            raise ValueError("keras weight list exhausted early")
+        if tuple(w.shape) != tuple(shape):
+            raise ValueError(f"shape mismatch: keras {w.shape} vs {shape}")
+        return w
+
+    def walk(node, path):
+        if isinstance(node, dict) or hasattr(node, "items"):
+            keys = list(node.keys())
+            if not path and layer_order is not None:
+                missing = [k for k in keys if k not in layer_order]
+                if missing:
+                    raise ValueError(f"layer_order misses {missing}")
+                keys = [k for k in layer_order if k in keys]
+            else:
+                keys.sort(key=lambda k: (_LEAF_PRIORITY.get(k, 0), k))
+            out = {}
+            is_bn = "scale" in node and "bias" in node and len(node) == 2
+            for k in keys:
+                out[k] = walk(node[k], path + (k,))
+                if is_bn and k == "bias":
+                    # norm bias consumes beta + running stats (:73-81)
+                    sub = stats
+                    for p in path:
+                        sub = sub[p]
+                    sub["mean"] = take(sub["mean"].shape)
+                    sub["var"] = take(sub["var"].shape)
+            return out
+        return take(np.asarray(node).shape)
+
+    new_params = walk(params, ())
+    leftover = sum(1 for _ in it)
+    if leftover:
+        raise ValueError(f"{leftover} keras weights left unconsumed")
+    out = {"params": new_params}
+    if variables.get("batch_stats"):
+        out["batch_stats"] = stats
+    return out
