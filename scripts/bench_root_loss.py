@@ -64,11 +64,21 @@ def main():
     g = jax.grad(lambda p: root_loss(p, target))
     t_bwd = scan_time(lambda p: p - 0.0 * g(p), pred)
 
+    # (d) fused pallas kernel, fwd and fwd+bwd
+    from tpudepth.ops.pallas.fused_root_loss import fused_root_loss
+
+    t_ffwd = scan_time(lambda p: p + 0 * fused_root_loss(p, target, 1.0, 0.1),
+                       pred)
+    gf = jax.grad(lambda p: fused_root_loss(p, target, 1.0, 0.1))
+    t_fbwd = scan_time(lambda p: p - 0.0 * gf(p), pred)
+
     print(json.dumps({
         "hw": [h, w], "bs": bs,
         "target_ms": round(t_tgt * 1e3, 3),
         "loss_fwd_ms": round(t_fwd * 1e3, 3),
         "loss_fwd_bwd_ms": round(t_bwd * 1e3, 3),
+        "fused_fwd_ms": round(t_ffwd * 1e3, 3),
+        "fused_fwd_bwd_ms": round(t_fbwd * 1e3, 3),
     }))
 
 

@@ -43,6 +43,9 @@ def main():
     p.add_argument("batch", type=int)
     p.add_argument("--infer-only", action="store_true")
     p.add_argument("--train-only", action="store_true")
+    p.add_argument("--recipe", default="alhashim", choices=["alhashim", "root"],
+                   help="training loss recipe (root = SSIM+0.1*L1 on min-max "
+                        "targets, what the root CLI uses for these models)")
     args = p.parse_args()
 
     from tpudepth.core.runtime import apply_platform_override
@@ -68,7 +71,8 @@ def main():
     sharding = batch_sharding(mesh)
     img = jax.device_put(jnp.asarray(image), sharding)
     dep = jax.device_put(jnp.asarray(depth), sharding)
-    results = {"model": args.model, "hw": [h, w], "batch": bs}
+    results = {"model": args.model, "hw": [h, w], "batch": bs,
+               "recipe": args.recipe}
 
     if not args.train_only:
         imgb = img.astype(jnp.bfloat16)
@@ -87,7 +91,10 @@ def main():
         results["infer_img_per_s"] = round(bs / t, 1)
 
     if not args.infer_only:
-        recipe = LossRecipe(kind="alhashim", max_depth=10.0, depth_scale=10.0)
+        if args.recipe == "root":
+            recipe = LossRecipe(kind="root")
+        else:
+            recipe = LossRecipe(kind="alhashim", max_depth=10.0, depth_scale=10.0)
         cfg = TrainConfig(model=args.model)
         tx = make_optimizer(cfg, steps_per_epoch=100)
         state0 = TrainState(
