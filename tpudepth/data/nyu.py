@@ -25,6 +25,7 @@ Capability parity with ``src/data.py``, rebuilt for TPU feeding:
 from __future__ import annotations
 
 import io
+import os
 import threading
 import zipfile
 from concurrent.futures import ThreadPoolExecutor
@@ -115,6 +116,8 @@ class NYUDepthDataset:
         max_cache_gb: float = 48.0,
         depth_post_scale: float = 1.0,
         raw: bool = False,
+        cache_dir: Optional[str] = None,
+        cache_key: Optional[str] = None,
     ):
         if num_shards > 1:
             pairs = list(pairs)[shard::num_shards]
@@ -136,7 +139,22 @@ class NYUDepthDataset:
         # decode is the host bottleneck (PERF.md); pixels are stored in their
         # native integer dtype (uint8 rgb, uint8/uint16 depth).
         self._cache = None
-        if cache_decoded and self.pairs:
+        self._disk = None
+        cache_dir = cache_dir or os.environ.get("TPUDEPTH_CACHE_DIR")
+        if cache_dir and self.pairs and self._native_shapes is not None:
+            # memmap-backed cache shared across runs: the decode epoch is a
+            # one-time per-machine cost (tpudepth/data/diskcache.py)
+            from tpudepth.data.diskcache import RawDiskCache, dataset_cache_key
+
+            (ih, iw, ic), (dh, dw, dc) = self._native_shapes
+            dep_dtype = np.uint16 if self._native_bits[1] == 16 else np.uint8
+            try:
+                self._disk = RawDiskCache(
+                    cache_dir, cache_key or dataset_cache_key("", self.pairs),
+                    len(self.pairs), (ih, iw, ic), (dh, dw, dc), dep_dtype)
+            except OSError:
+                self._disk = None
+        if self._disk is None and cache_decoded and self.pairs:
             img0, dep0 = self.get_raw(0)
             bytes_per_sample = img0.nbytes + dep0.nbytes
             total_gb = bytes_per_sample * len(self.pairs) / 1e9
@@ -164,17 +182,10 @@ class NYUDepthDataset:
 
     def get(self, idx: int) -> Tuple[np.ndarray, np.ndarray]:
         """Float sample with reference ToTensor + depth scaling applied."""
-        if self._cache is not None and idx in self._cache:
-            img_u8, dep_raw = self._cache[idx]
-            return self._to_float(img_u8), self._to_float(dep_raw, depth=True)
-        rgb_name, depth_name = self.pairs[idx][0], self.pairs[idx][1]
-        if self._cache is not None:
-            img_raw, dep_raw = (
-                _decode_raw(self.data[rgb_name]),
-                _decode_raw(self.data[depth_name]),
-            )
-            self._cache[idx] = (img_raw, dep_raw)
+        if self._disk is not None or self._cache is not None:
+            img_raw, dep_raw = self.get_raw(idx)  # cache-filling raw path
             return self._to_float(img_raw), self._to_float(dep_raw, depth=True)
+        rgb_name, depth_name = self.pairs[idx][0], self.pairs[idx][1]
         img = _decode(self.data[rgb_name])
         dep = _decode(self.data[depth_name])
         if self.depth_post_scale != 1.0:
@@ -183,12 +194,18 @@ class NYUDepthDataset:
 
     def get_raw(self, idx: int) -> Tuple[np.ndarray, np.ndarray]:
         """Native-integer sample (uint8 rgb, uint8/uint16 depth), unscaled."""
+        if self._disk is not None:
+            hit = self._disk.get(idx)
+            if hit is not None:
+                return hit
         if self._cache is not None and idx in self._cache:
             return self._cache[idx]
         rgb_name, depth_name = self.pairs[idx][0], self.pairs[idx][1]
         img = _decode_raw(self.data[rgb_name])
         dep = _decode_raw(self.data[depth_name])
-        if self._cache is not None:
+        if self._disk is not None:
+            self._disk.put(idx, img, dep)
+        elif self._cache is not None:
             self._cache[idx] = (img, dep)
         return img, dep
 
@@ -230,6 +247,10 @@ class NYUDepthDataset:
         """Batch of native-integer pixels. Steady-state cost on a cache hit is
         one uint8 stack (pure memcpy); the device does /255 and depth scaling
         (``make_train_step``'s conversion block)."""
+        if self._disk is not None and all(self._disk.has(i) for i in indices):
+            idx = np.asarray(list(indices))
+            return {"image": self._disk.images[idx],
+                    "depth": self._disk.depths[idx]}
         if self._cache is not None and all(i in self._cache for i in indices):
             return {
                 "image": np.stack([self._cache[i][0] for i in indices]),
@@ -245,7 +266,10 @@ class NYUDepthDataset:
             images = native.decode_batch_raw(rgb_bufs, ih, iw, ic, ibits)
             depths = native.decode_batch_raw(dep_bufs, dh, dw, dc, dbits)
             if images is not None and depths is not None:
-                if self._cache is not None:
+                if self._disk is not None:
+                    for j, i in enumerate(indices):
+                        self._disk.put(i, images[j], depths[j])
+                elif self._cache is not None:
                     for j, i in enumerate(indices):
                         self._cache[i] = (images[j], depths[j])
                 return {"image": images, "depth": depths}
@@ -355,6 +379,7 @@ def get_training_testing_data(
     dataset: str = "nyu_reduced",
     raw: Optional[bool] = None,
     cache: Optional[bool] = None,
+    cache_dir: Optional[str] = None,
 ) -> Tuple[DataLoader, DataLoader]:
     """``getTrainingTestingData`` parity (``src/data.py:171-179``): train
     loader shuffled, test loader in csv order.
@@ -363,7 +388,9 @@ def get_training_testing_data(
     rgb / native-depth) with a decode-once RAM cache when it fits in half the
     host's available memory — on this single-core host the device-side /255
     is what keeps the input pipeline above the device train rate (PERF.md).
-    The val loader stays in float mode (metrics consume host floats).
+    ``cache_dir`` (or env TPUDEPTH_CACHE_DIR) upgrades it to a memmap cache
+    shared across runs, keyed by zip identity + shard slice. The val loader
+    stays in float mode (metrics consume host floats).
     """
     train_csv, test_csv, depth_scale = DATASET_LAYOUTS[dataset]
     data, train_pairs, test_pairs = load_zip_to_mem(zip_path, train_csv, test_csv)
@@ -371,10 +398,16 @@ def get_training_testing_data(
         raw = True
     if cache is None:
         cache = True  # NYUDepthDataset falls back to streaming when too big
+    from tpudepth.data.diskcache import dataset_cache_key
+
+    shard_pairs = (list(train_pairs)[shard::num_shards]
+                   if num_shards > 1 else train_pairs)
     train = NYUDepthDataset(data, train_pairs, shard, num_shards,
                             depth_post_scale=depth_scale, raw=raw,
                             cache_decoded=cache,
-                            max_cache_gb=_available_ram_gb() * 0.5)
+                            max_cache_gb=_available_ram_gb() * 0.5,
+                            cache_dir=cache_dir,
+                            cache_key=dataset_cache_key(zip_path, shard_pairs))
     test = NYUDepthDataset(data, test_pairs, depth_post_scale=depth_scale)
     return (
         DataLoader(train, batch_size, shuffle=True, sharding=sharding),
