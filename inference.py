@@ -114,26 +114,47 @@ def main():
         jit_stats["seconds_per_frame"] / stats["seconds_per_frame"]))
 
     if args.evaluate:
+        # Accuracy-evaluate the ENGINE ITSELF (and, when serialized, the
+        # deserialized jax.export artifact), mirroring the reference's
+        # TRT-engine eval (src/GuideDepth/inference.py:208-280) — the engine
+        # output is already in meters (fused inverse_depth_norm).
         from tpudepth.eval.evaluator import AlhashimEvaluator
 
         data_path = _resolve_data(args.data_path, n_train=8)
         _, test_loader = get_training_testing_data(1, data_path)
 
-        @jax.jit
-        def forward(image):
-            return model.apply(variables, image, train=False).astype(jnp.float32)
-
-        evaluator = AlhashimEvaluator(forward, config)
+        eval_engine = engine
+        if args.batch_size != 1:  # eval always runs batch-1 like the reference
+            eval_engine = InferenceEngine(model, variables, (1, h, w, 3),
+                                          max_depth=config.max_depth)
+        evaluator = AlhashimEvaluator(eval_engine, config,
+                                      forward_returns_meters=True)
         avg = evaluator.evaluate(test_loader, save_results_to=args.save_results)
+        print("[aot_bf16 engine eval]")
         print(AlhashimEvaluator.format_report(avg))
+
+        deser_avg = None
+        if args.engine_path:
+            deser = InferenceEngine.deserialize(args.engine_path)
+            if args.batch_size == 1:
+                deser_eval = AlhashimEvaluator(deser, config,
+                                               forward_returns_meters=True)
+                deser_avg = deser_eval.evaluate(test_loader)
+                print("[deserialized engine eval]")
+                print(AlhashimEvaluator.format_report(deser_avg))
+
         os.makedirs(args.save_results, exist_ok=True)
         with open(os.path.join(args.save_results, "inference_results.txt"), "w") as f:
-            f.write("backend,s/frame,FPS,img/s\n")
-            f.write("jit_f32,{:.5f},{:.1f},{:.1f}\n".format(
+            f.write("backend,s/frame,FPS,img/s,RMSE,Delta1\n")
+            f.write("jit_f32,{:.5f},{:.1f},{:.1f},,\n".format(
                 jit_stats["seconds_per_frame"], jit_stats["fps"],
                 jit_stats["fps"] * args.batch_size))
-            f.write("aot_bf16,{:.5f},{:.1f},{:.1f}\n".format(
-                stats["seconds_per_frame"], stats["fps"], stats["images_per_second"]))
+            f.write("aot_bf16,{:.5f},{:.1f},{:.1f},{:.3f},{:.3f}\n".format(
+                stats["seconds_per_frame"], stats["fps"],
+                stats["images_per_second"], avg.rmse, avg.delta1))
+            if deser_avg is not None:
+                f.write("aot_bf16_deserialized,,,,{:.3f},{:.3f}\n".format(
+                    deser_avg.rmse, deser_avg.delta1))
 
 
 if __name__ == "__main__":

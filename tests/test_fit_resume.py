@@ -85,3 +85,47 @@ def test_fit_checkpoint_resume_and_best_model(tmp_path):
     assert int(ck["epoch"]) == 1
     assert ck["loss"] == pytest.approx(0.123)
     assert "params" in ck and "opt_state" in ck
+
+
+def test_set_resume_epoch_aligns_step(tmp_path):
+    """Root rolling-schema resume (train.py --cp 1): bumping the resume
+    epoch must also advance the optimizer step so the StepLR schedule and
+    rng fold_in stay aligned (ADVICE r2)."""
+    synth_zip = make_synthetic_zip(
+        str(tmp_path / "synth.zip"), n_train=8, n_test=2, image_hw=(32, 32))
+    tr = _make_trainer(synth_zip, tmp_path / "ck", tmp_path / "res")
+    first = next(iter(tr.train_loader))
+    tr.init_state(first["image"])
+    tr.save_rolling_checkpoint(epoch=3, loss=0.5)
+    wait_for_checkpoints()
+
+    tr2 = _make_trainer(synth_zip, tmp_path / "ck", tmp_path / "res")
+    first = next(iter(tr2.train_loader))
+    tr2.init_state(first["image"])
+    tr2.restore(str(tmp_path / "ck" / "global_checkpoint"))
+    assert tr2.epoch == 3
+    tr2.set_resume_epoch(tr2.epoch + 1)
+    assert tr2.epoch == 4
+    assert int(tr2.state.step) == 4 * tr2.steps_per_epoch
+
+
+def test_fit_waits_for_checkpoints_on_exception(tmp_path, monkeypatch):
+    """A crash mid-epoch must still barrier on in-flight async saves
+    (ADVICE r2: otherwise the last rolling save can be left uncommitted)."""
+    import tpudepth.train.trainer as trainer_mod
+
+    synth_zip = make_synthetic_zip(
+        str(tmp_path / "synth.zip"), n_train=8, n_test=2, image_hw=(32, 32))
+    tr = _make_trainer(synth_zip, tmp_path / "ck", tmp_path / "res")
+    calls = []
+    monkeypatch.setattr(
+        "tpudepth.train.checkpoint.wait_for_checkpoints",
+        lambda: calls.append(1))
+
+    def boom(self, *a, **k):
+        raise RuntimeError("mid-epoch crash")
+
+    monkeypatch.setattr(Trainer, "train_epoch", boom)
+    with pytest.raises(RuntimeError, match="mid-epoch crash"):
+        tr.fit(epochs=1, checkpoint_style="rolling")
+    assert calls, "wait_for_checkpoints not called on the exception path"

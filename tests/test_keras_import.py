@@ -131,3 +131,39 @@ def test_import_keras_sequential_errors():
         import_keras_sequential(
             [np.zeros((3, 4), np.float32), np.zeros(4, np.float32),
              np.zeros(4, np.float32)], v)
+
+
+def test_import_keras_nested_level_ordering():
+    """layer_order as a {path: ordering} mapping reorders NESTED siblings
+    whose alphabetical order differs from network order (ADVICE r2: a
+    positional walk would otherwise import shape-compatible siblings
+    silently swapped)."""
+    import flax.linen as nn
+    import jax
+    import jax.numpy as jnp
+
+    from tpudepth.models.keras_import import import_keras_sequential
+
+    class Inner(nn.Module):
+        @nn.compact
+        def __call__(self, x):
+            # network order: zfirst then asecond — alphabetical is reversed
+            x = nn.Dense(3, name="zfirst")(x)
+            return nn.Dense(3, name="asecond")(x)
+
+    class Outer(nn.Module):
+        @nn.compact
+        def __call__(self, x):
+            return Inner(name="inner")(x)
+
+    v = Outer().init(jax.random.PRNGKey(0), jnp.zeros((1, 3)))
+    w = [np.full((3, 3), 1.0, np.float32), np.full(3, 2.0, np.float32),   # zfirst
+         np.full((3, 3), 3.0, np.float32), np.full(3, 4.0, np.float32)]  # asecond
+    out = import_keras_sequential(
+        w, v, layer_order={"inner": ["zfirst", "asecond"]})
+    p = out["params"]["inner"]
+    assert float(p["zfirst"]["kernel"][0, 0]) == 1.0
+    assert float(p["asecond"]["kernel"][0, 0]) == 3.0
+    # without the mapping, alphabetical walk swaps them
+    swapped = import_keras_sequential(w, v)
+    assert float(swapped["params"]["inner"]["asecond"]["kernel"][0, 0]) == 1.0

@@ -149,3 +149,62 @@ def test_spatial_input_guard():
         validate_spatial_input(64, mesh)
     validate_spatial_input(256, mesh)
     validate_spatial_input(64, create_mesh(num_data=8, num_model=1))
+
+
+def test_dp_x_spatial_attention_train_step_invariance():
+    """DP x spatial TRAINING of an attention model (VERDICT r2 item 4): the
+    NewCRF shifted-window decoder (``src/newcrf_layers.py:219-246``) under a
+    (2 data x 2 model) mesh at the guard-safe height 128
+    (core/mesh.py:min_spatial_height) must reproduce the single-device run.
+    Invariants per the BN-noise rationale above: first-step loss, global
+    gradient norm, and descent."""
+    import optax
+
+    from tpudepth.core.mesh import validate_spatial_input
+    from tpudepth.train.trainer import LossRecipe, TrainState, make_train_step
+
+    model = build_model("newcrf")
+    rng = np.random.default_rng(0)
+    image = rng.random((4, 128, 128, 3)).astype(np.float32)
+    depth = (rng.random((4, 128, 128, 1)) * 0.9 + 0.05).astype(np.float32)
+    variables = jax.device_get(
+        model.init(jax.random.PRNGKey(0), jnp.asarray(image[:1]), train=False))
+
+    results = {}
+    for name, (nd, nm) in {"single": (1, 1), "dp_x_spatial": (2, 2)}.items():
+        mesh = create_mesh(num_data=nd, num_model=nm)
+        validate_spatial_input(image.shape[1], mesh)
+        tx = optax.sgd(1e-3)
+        params = jax.tree_util.tree_map(jnp.asarray, variables["params"])
+        params0 = jax.device_get(params)
+        state = TrainState(
+            step=jnp.zeros((), jnp.int32),
+            params=params,
+            batch_stats=variables.get("batch_stats", {}),
+            opt_state=tx.init(params),
+            tx=tx,
+            apply_fn=model.apply,
+        )
+        state = jax.device_put(state, replicated(mesh))
+        sh = NamedSharding(mesh, P("data", "model"))
+        img = jax.device_put(jnp.asarray(image), sh)
+        dep = jax.device_put(jnp.asarray(depth), sh)
+        step = make_train_step(
+            model, LossRecipe(kind="root"),
+            compute_dtype=jnp.float32, augment=False, mesh=mesh)
+        losses = []
+        for i in range(3):
+            state, loss = step(state, img, dep, jax.random.PRNGKey(i))
+            losses.append(float(loss))
+        gnorm = np.sqrt(sum(
+            float(np.sum((np.asarray(a) - np.asarray(b)) ** 2))
+            for a, b in zip(jax.tree_util.tree_leaves(params0),
+                            jax.tree_util.tree_leaves(
+                                jax.device_get(state.params)))
+        )) / (3 * 1e-3)
+        results[name] = (losses, gnorm)
+
+    (l1, n1), (l2, n2) = results["single"], results["dp_x_spatial"]
+    assert abs(l1[0] - l2[0]) < 1e-5, (l1[0], l2[0])
+    assert abs(n1 - n2) / n1 < 0.1, (n1, n2)
+    assert l1[2] < l1[0] and l2[2] < l2[0], (l1, l2)

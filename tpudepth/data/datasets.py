@@ -6,6 +6,13 @@ The reference's GuideDepth stack imports ``data.datasets.get_dataloader``
 snapshot. This module re-derives that API from its call sites: split-aware
 loaders over the zip datasets with the resolution applied, returning
 {'image','depth'} batches.
+
+TPU-first: the train split gets the SAME fast pipeline as
+``get_training_testing_data`` — raw integer batches (device-side /255) with
+a decode-once RAM cache, or the cross-run memmap cache when
+``cache_dir``/``TPUDEPTH_CACHE_DIR`` is set, keyed by zip identity
+(size+mtime) + shard slice so a regenerated zip never serves stale pixels.
+Val/test splits stay in float mode (metrics consume host floats).
 """
 
 from __future__ import annotations
@@ -17,6 +24,7 @@ from tpudepth.data.nyu import (
     DATASET_LAYOUTS,
     DataLoader,
     NYUDepthDataset,
+    _available_ram_gb,
     load_zip_to_mem,
 )
 
@@ -34,6 +42,9 @@ def get_dataloader(
     sharding=None,
     shard: int = 0,
     num_shards: int = 1,
+    raw: Optional[bool] = None,
+    cache: Optional[bool] = None,
+    cache_dir: Optional[str] = None,
 ) -> DataLoader:
     """Call-site-compatible with the reference's missing
     ``datasets.get_dataloader`` (``src/GuideDepth/training.py:42-48``).
@@ -42,18 +53,30 @@ def get_dataloader(
     Host-side augmentation is intentionally absent — flip/channel-swap run on
     device inside the train step (:mod:`tpudepth.data.augment`).
     """
+    from tpudepth.data.diskcache import dataset_cache_key
+
     train_csv, test_csv, depth_scale = DATASET_LAYOUTS[dataset]
     if path not in _CACHE:
         _CACHE[path] = load_zip_to_mem(path, train_csv, test_csv)
     data, train_pairs, test_pairs = _CACHE[path]
     pairs = train_pairs if split == "train" else test_pairs
+    is_train = split == "train"
+    if raw is None:
+        raw = is_train
+    if cache is None:
+        cache = is_train
+    shard_pairs = list(pairs)[shard::num_shards] if num_shards > 1 else pairs
     ds = NYUDepthDataset(data, pairs, shard=shard, num_shards=num_shards,
                          decode_workers=max(workers, 2),
-                         depth_post_scale=depth_scale)
+                         depth_post_scale=depth_scale,
+                         raw=raw, cache_decoded=cache,
+                         max_cache_gb=_available_ram_gb() * 0.5,
+                         cache_dir=cache_dir,
+                         cache_key=dataset_cache_key(path, shard_pairs))
     return DataLoader(
         ds,
         batch_size,
-        shuffle=(split == "train"),
-        drop_last=(split == "train"),
+        shuffle=is_train,
+        drop_last=is_train,
         sharding=sharding,
     )

@@ -96,12 +96,18 @@ class AlhashimEvaluator:
         config: EvalConfig,
         depth_scale: Optional[float] = None,
         visualize_images: Tuple[int, ...] = (),
+        forward_returns_meters: bool = False,
     ):
         self.forward = forward
         self.config = config
         # loader depth in [0,1] (8-bit) -> meters
         self.depth_scale = depth_scale if depth_scale is not None else config.max_depth
         self.visualize_images = set(visualize_images)
+        # True when ``forward`` already applies the inverse depth norm (the
+        # AOT InferenceEngine with max_depth fuses the meters conversion —
+        # the reference's TRT eval likewise consumes engine outputs directly,
+        # ``src/GuideDepth/inference.py:208-280``)
+        self.forward_returns_meters = forward_returns_meters
 
     def evaluate(self, loader, save_results_to: Optional[str] = None) -> Result:
         cfg = self.config
@@ -133,10 +139,14 @@ class AlhashimEvaluator:
             data_time = time.time() - t0
 
             t0 = time.time()
-            inv_pred = self.forward(image)
-            pred = np.asarray(inverse_depth_norm(inv_pred, max_depth))
-            inv_pred_flip = self.forward(image_flip)
-            pred_flip = np.asarray(inverse_depth_norm(inv_pred_flip, max_depth))
+            if self.forward_returns_meters:
+                pred = np.asarray(self.forward(image))
+                pred_flip = np.asarray(self.forward(image_flip))
+            else:
+                pred = np.asarray(
+                    inverse_depth_norm(self.forward(image), max_depth))
+                pred_flip = np.asarray(
+                    inverse_depth_norm(self.forward(image_flip), max_depth))
             gpu_time = time.time() - t0
 
             if cfg.eval_mode == "alhashim":

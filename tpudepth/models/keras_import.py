@@ -91,15 +91,19 @@ def import_keras_sequential(weights, variables, layer_order=None):
     Flax dicts iterate ALPHABETICALLY, which is neither definition order at
     the module level (BatchNorm_0 < Conv_0) nor inside a module (bias <
     kernel). Inside a module the known keras order is enforced
-    (kernel/scale before bias); across modules pass ``layer_order`` — the
-    top-level submodule names in network order — when alphabetical order is
-    not the network order.
+    (kernel/scale before bias); across modules pass ``layer_order`` — either
+    a sequence of top-level submodule names in network order, or a mapping
+    from "/"-joined tree paths ("" for the top level) to per-level
+    orderings, for nested trees whose alphabetical sibling order is not the
+    network order (a positional walk imports such siblings silently swapped
+    when their params share shapes).
 
     Args:
       weights: the flat ``model.get_weights()``-order list of arrays.
       variables: flax variables dict with 'params' (and optionally
         'batch_stats') whose structure to fill.
-      layer_order: optional sequence of top-level keys in network order.
+      layer_order: optional network ordering — a sequence (top level only)
+        or a {path: ordering} mapping applied at any level.
 
     Returns a NEW variables dict; raises ValueError on shape mismatch or
     leftover weights, like ``load_state_dict`` would.
@@ -122,14 +126,25 @@ def import_keras_sequential(weights, variables, layer_order=None):
             raise ValueError(f"shape mismatch: keras {w.shape} vs {shape}")
         return w
 
+    def level_order(path):
+        if layer_order is None:
+            return None
+        if hasattr(layer_order, "get") and not isinstance(layer_order, (list, tuple)):
+            return layer_order.get("/".join(path))
+        return layer_order if not path else None
+
     def walk(node, path):
         if isinstance(node, dict) or hasattr(node, "items"):
             keys = list(node.keys())
-            if not path and layer_order is not None:
-                missing = [k for k in keys if k not in layer_order]
+            order = level_order(path)
+            if order is not None:
+                missing = [k for k in keys if k not in order]
                 if missing:
-                    raise ValueError(f"layer_order misses {missing}")
-                keys = [k for k in layer_order if k in keys]
+                    raise ValueError(
+                        f"layer_order misses {missing} at "
+                        f"{'/'.join(path) or '<top>'}"
+                    )
+                keys = [k for k in order if k in keys]
             else:
                 keys.sort(key=lambda k: (_LEAF_PRIORITY.get(k, 0), k))
             out = {}

@@ -483,10 +483,23 @@ class Trainer:
         )
         # guidedepth schema stores epoch+1 (the epoch to resume at); the root
         # schema stores the completed epoch, whose resume point is epoch+1 —
-        # handled by the caller (src/train.py:59-68 semantics).
+        # callers adjust via set_resume_epoch (src/train.py:59-68 semantics),
+        # which keeps the optimizer step counter (StepLR schedule, rng
+        # fold_in) consistent with the adjusted epoch.
         self.epoch = int(restored.get("epoch", 0))
         self.val_losses = [float(v) for v in restored.get("val_losses", [])]
         return restored
+
+    def set_resume_epoch(self, epoch: int):
+        """Set the epoch training resumes at AND the matching optimizer step
+        so the step-based StepLR schedule and per-step rng fold_in stay
+        aligned (root rolling schema stores the *completed* epoch, so its
+        resume point is epoch+1 — without this the schedule would run one
+        epoch of steps behind)."""
+        self.epoch = int(epoch)
+        self.state = self.state.replace(
+            step=jnp.asarray(self.epoch * self.steps_per_epoch, jnp.int32)
+        )
 
     def export_best_model(self, out_dir: Optional[str] = None) -> str:
         """Select the epoch with the lowest validation loss and export its
@@ -544,28 +557,32 @@ class Trainer:
         if self.state is None:
             first = next(iter(self.train_loader))
             self.init_state(first["image"])
-        for epoch in range(self.epoch, epochs):
-            self.epoch = epoch
-            self.train_loader.set_epoch(epoch)
-            train_avg = self.train_epoch(log_fn, steps_cap=steps_per_epoch,
-                                         image_log_fn=image_log_fn)
-            val_avg = None
-            if self.val_loader is not None:
-                val_avg = self.val_epoch(max_batches=val_max_batches)
-            if on_epoch_end:
-                on_epoch_end(epoch, train_avg, val_avg, self)
-            if checkpoint_style == "per_epoch":
-                self.save_epoch_checkpoint(epoch)
-            elif checkpoint_style == "rolling":
-                self.save_rolling_checkpoint(epoch, train_avg)
-        self.epoch = epochs
-        # Barrier on in-flight async checkpoint saves BEFORE returning: the
-        # atexit fallback runs after CPython shuts down executor threads, at
-        # which point orbax's commit futures can no longer be scheduled
-        # ("cannot schedule new futures after shutdown").
+        # Barrier on in-flight async checkpoint saves BEFORE returning — on
+        # the exception path too (a crash mid-epoch must not leave the last
+        # force=True rolling save uncommitted): the atexit fallback runs
+        # after CPython shuts down executor threads, at which point orbax's
+        # commit futures can no longer be scheduled ("cannot schedule new
+        # futures after shutdown").
         from tpudepth.train.checkpoint import wait_for_checkpoints
 
-        wait_for_checkpoints()
+        try:
+            for epoch in range(self.epoch, epochs):
+                self.epoch = epoch
+                self.train_loader.set_epoch(epoch)
+                train_avg = self.train_epoch(log_fn, steps_cap=steps_per_epoch,
+                                             image_log_fn=image_log_fn)
+                val_avg = None
+                if self.val_loader is not None:
+                    val_avg = self.val_epoch(max_batches=val_max_batches)
+                if on_epoch_end:
+                    on_epoch_end(epoch, train_avg, val_avg, self)
+                if checkpoint_style == "per_epoch":
+                    self.save_epoch_checkpoint(epoch)
+                elif checkpoint_style == "rolling":
+                    self.save_rolling_checkpoint(epoch, train_avg)
+            self.epoch = epochs
+        finally:
+            wait_for_checkpoints()
         if export_best:
             return self.export_best_model()
         return self.state

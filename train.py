@@ -124,7 +124,9 @@ def main():
     if args.cp == 1:
         print("starting training from the last checkpoint")
         restored = trainer.restore(ckpt_path)
-        trainer.epoch += 1  # root schema stores the completed epoch (src/train.py:59-68)
+        # root schema stores the completed epoch (src/train.py:59-68); bump
+        # epoch AND the optimizer step so StepLR / rng stay schedule-aligned
+        trainer.set_resume_epoch(trainer.epoch + 1)
         print("epoch started:", trainer.epoch)
         print("loss started:", restored.get("loss", 0.0))
 
