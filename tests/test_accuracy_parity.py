@@ -124,3 +124,131 @@ def test_matched_training_losses_and_import_metrics(tmp_path):
 
     for k in ("rmse", "mae", "absrel", "delta1", "delta2", "delta3"):
         assert getattr(r_j, k) == pytest.approx(getattr(r_t, k), rel=1e-3, abs=1e-4), k
+
+
+@pytest.mark.parametrize("variant", ["sam", "newcrf"])
+def test_attention_matched_training_and_import_metrics(variant, tmp_path):
+    """Full-model SAM/NewCRF accuracy parity (VERDICT r2 item 5): same torch
+    init via convert_attention_model, same batches, the ROOT recipe the
+    reference trains these models with (min-max DepthNorm target,
+    1.0*SSIM + 0.1*L1 — src/train.py:89-100), SAM's frozen encoder
+    (src/model_mobileV3_large_SAM.py:168-169); then checkpoint-import metric
+    equality through the root 9-metric path (src/test.py:84-198). The
+    20-step run is recorded in BASELINE.md (scripts/parity_train_attention).
+
+    torchvision is absent in this image; tests/torch_mnv3_stub.py supplies
+    the exact torchvision MobileNetV3 structure + state_dict naming, so the
+    reference decoder code runs unmodified."""
+    import optax
+    import torch
+    import torch.nn as nn
+
+    from torch_mnv3_stub import install
+    install()
+    if "/root/reference/src" not in sys.path:
+        sys.path.insert(0, "/root/reference/src")
+
+    torch.manual_seed(0)
+    if variant == "sam":
+        import model_mobileV3_large_SAM as ref_mod
+    else:
+        import model_mobileV3_large_newCRFs as ref_mod
+    from loss import SSIM as TorchSSIM
+
+    from tpudepth.core.config import EvalConfig
+    from tpudepth.data import get_training_testing_data, make_synthetic_zip
+    from tpudepth.eval.evaluator import RootEvaluator
+    from tpudepth.losses import depth_norm_minmax, l1_loss, ssim
+    from tpudepth.models import build_model
+    from tpudepth.models.torch_import import (
+        convert_attention_model,
+        state_dict_to_numpy,
+    )
+
+    zp = make_synthetic_zip(str(tmp_path / "p.zip"), n_train=2 * STEPS,
+                            n_test=2, image_hw=(96, 128))
+    train_loader, test_loader = get_training_testing_data(2, zp, raw=False)
+    train_loader.shuffle = False
+    batches = list(train_loader)[:STEPS]
+
+    tmodel = ref_mod.PTModel()
+    variables = convert_attention_model(
+        state_dict_to_numpy(tmodel.state_dict()), variant)
+
+    # torch side (src/train.py:41,53-55,83-114)
+    tssim = TorchSSIM()
+    tl1 = nn.L1Loss()
+    trainable = [q for q in tmodel.parameters() if q.requires_grad]
+    if variant == "sam":
+        assert len(trainable) < sum(1 for _ in tmodel.parameters())
+    topt = torch.optim.Adam(trainable, 1e-4)
+    tmodel.train()
+    torch_losses = []
+    for b in batches:
+        img = torch.from_numpy(b["image"]).permute(0, 3, 1, 2)
+        dep = torch.from_numpy(b["depth"]).permute(0, 3, 1, 2)
+        depth_n = (dep - dep.min()) / (dep.max() - dep.min())
+        pred = tmodel(img)
+        lv = 1.0 * tssim(pred, depth_n) + 0.1 * tl1(pred, depth_n)
+        topt.zero_grad()
+        lv.backward()
+        topt.step()
+        torch_losses.append(float(lv.item()))
+
+    # tpudepth side
+    model = build_model(variant, dtype=jnp.float32)
+    params, batch_stats = variables["params"], variables["batch_stats"]
+    tx = optax.adam(1e-4)
+    if variant == "sam":
+        from tpudepth.train.trainer import freeze_encoder_mask
+
+        tx = optax.multi_transform(
+            {"train": tx, "frozen": optax.set_to_zero()},
+            freeze_encoder_mask(params))
+    opt_state = tx.init(params)
+
+    @jax.jit
+    def step(params, batch_stats, opt_state, img, dep):
+        target = depth_norm_minmax(dep)
+
+        def loss_fn(pp):
+            pred, mut = model.apply({"params": pp, "batch_stats": batch_stats},
+                                    img, train=True, mutable=["batch_stats"])
+            pred = pred.astype(jnp.float32)
+            return (1.0 * ssim(pred, target) + 0.1 * l1_loss(pred, target),
+                    mut["batch_stats"])
+
+        (loss, stats), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        return optax.apply_updates(params, updates), stats, opt_state, loss
+
+    jax_losses = []
+    for b in batches:
+        params, batch_stats, opt_state, loss = step(
+            params, batch_stats, opt_state,
+            jnp.asarray(b["image"]), jnp.asarray(b["depth"]))
+        jax_losses.append(float(loss))
+
+    assert jax_losses[0] == pytest.approx(torch_losses[0], abs=2e-4)
+    np.testing.assert_allclose(jax_losses, torch_losses, rtol=2e-2)
+
+    # checkpoint-import metric equality (root 9-metric path)
+    tmodel.eval()
+    v2 = convert_attention_model(state_dict_to_numpy(tmodel.state_dict()),
+                                 variant)
+    cfg = EvalConfig(min_depth_eval=1e-3, max_depth_eval=80)
+
+    def torch_forward(image):
+        with torch.no_grad():
+            out = tmodel(
+                torch.from_numpy(np.asarray(image)).permute(0, 3, 1, 2))
+        return out.permute(0, 2, 3, 1).numpy()
+
+    @jax.jit
+    def jax_forward(image):
+        return model.apply(v2, image, train=False).astype(jnp.float32)
+
+    m_t = RootEvaluator(torch_forward, cfg).evaluate(test_loader)
+    m_j = RootEvaluator(jax_forward, cfg).evaluate(test_loader)
+    for k in m_t:
+        assert m_j[k] == pytest.approx(m_t[k], rel=1e-4, abs=1e-6), k

@@ -65,11 +65,11 @@ def window_cross_attention(
 
     Returns: [BW, heads, N, D] attention output.
     """
-    if use_pallas is None:
-        import os
+    import os
 
-        env = os.environ.get("TPUDEPTH_ATTN")  # 'pallas' | 'xla' (A/B bench)
-        if env:
+    env = os.environ.get("TPUDEPTH_ATTN")  # 'pallas'|'xla'|'fast' (A/B bench)
+    if use_pallas is None:
+        if env in ("pallas", "xla", "fast"):
             use_pallas = env == "pallas"
         else:
             use_pallas = jax.default_backend() == "tpu" and _TRAINING.get()
@@ -77,7 +77,38 @@ def window_cross_attention(
         from tpudepth.ops.pallas.window_attn import window_attention
 
         return window_attention(q, k, v, bias, mask)
+    if env != "xla" and jax.default_backend() == "tpu" and not _TRAINING.get():
+        # inference on TPU: compute-dtype einsums (the f32-HIGHEST golden
+        # path costs 6 bf16 MXU passes per matmul AND doubles HBM bytes —
+        # measured the difference between NewCRF eval sitting below the
+        # roofline and at it, PERF.md round 3). Softmax stays f32. The rest
+        # of the model already runs default-precision bf16 at inference.
+        return window_cross_attention_fast(q, k, v, bias, mask)
     return window_cross_attention_xla(q, k, v, bias, mask)
+
+
+def window_cross_attention_fast(
+    q: jax.Array,
+    k: jax.Array,
+    v: jax.Array,
+    bias: jax.Array,
+    mask: Optional[jax.Array] = None,
+) -> jax.Array:
+    """Compute-dtype (bf16 in production) attention with f32 logits/softmax."""
+    bw, heads, n, d = q.shape
+    attn = jnp.einsum("bhnd,bhmd->bhnm", q, k,
+                      preferred_element_type=jnp.float32)
+    attn = attn + bias[None].astype(jnp.float32)
+    if mask is not None:
+        nw = mask.shape[0]
+        attn = attn.reshape(bw // nw, nw, heads, n, n) + mask[None, :, None].astype(
+            jnp.float32
+        )
+        attn = attn.reshape(bw, heads, n, n)
+    attn = jax.nn.softmax(attn, axis=-1)
+    out = jnp.einsum("bhnm,bhmd->bhnd", attn.astype(q.dtype), v,
+                     preferred_element_type=jnp.float32)
+    return out.astype(q.dtype)
 
 
 def window_cross_attention_xla(
