@@ -150,3 +150,62 @@ def test_guidedepth_packed_matches_unpacked(rng, train):
                         jax.tree_util.tree_leaves(got_stats)):
             np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4)
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-4)
+
+
+def test_upsample2x_pack4_matches_resize(rng):
+    from tpudepth.ops.packed import upsample2x_pack4
+
+    x = jnp.asarray(rng.random((2, 6, 10, 5)), jnp.float32)
+    ref = space_to_depth(resize_bilinear(x, (12, 20), align_corners=False), 4)
+    got = upsample2x_pack4(x)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-6)
+
+
+@pytest.mark.parametrize("train", [False, True])
+def test_gub_packed4_matches_unpacked(rng, train):
+    from tpudepth.models.guidedepth import GuidedUpsamplingBlock
+
+    gub = GuidedUpsamplingBlock(16, 16, 8)
+    guide = jnp.asarray(rng.random((2, 16, 24, 3)), jnp.float32)
+    depth = jnp.asarray(rng.random((2, 16, 24, 16)), jnp.float32)
+    variables = gub.init(jax.random.PRNGKey(0), guide, depth, train=False)
+
+    kw = dict(mutable=["batch_stats"]) if train else {}
+    ref = gub.apply(variables, guide, depth, train=train, **kw)
+    got = gub.apply(variables, space_to_depth(guide, 4), space_to_depth(depth, 4),
+                    train=train, packed=4, **kw)
+    if train:
+        ref, ref_stats = ref
+        got, got_stats = got
+        for a, b in zip(jax.tree_util.tree_leaves(ref_stats),
+                        jax.tree_util.tree_leaves(got_stats)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+    np.testing.assert_allclose(
+        np.asarray(depth_to_space(got, 4)), np.asarray(ref), atol=3e-5)
+
+
+@pytest.mark.parametrize("train", [False, True])
+def test_guidedepth_block4_matches_unpacked(rng, train):
+    """Default production config now runs the full-res stage at block=4
+    (c256 @ H/4): must stay exact vs the unpacked model AND keep the param
+    tree unchanged."""
+    from tpudepth.models.guidedepth import GuideDepth
+
+    x = jnp.asarray(rng.random((1, 64, 64, 3)), jnp.float32)
+    ref_model = GuideDepth(packed=False)
+    variables = ref_model.init(jax.random.PRNGKey(0), x, train=False)
+    packed_model = GuideDepth(packed=True)  # full-res stage -> block 4
+    v2 = packed_model.init(jax.random.PRNGKey(0), x, train=False)
+    assert (jax.tree_util.tree_map(lambda a: a.shape, variables)
+            == jax.tree_util.tree_map(lambda a: a.shape, v2))
+
+    kw = dict(mutable=["batch_stats"]) if train else {}
+    ref = ref_model.apply(variables, x, train=train, **kw)
+    got = packed_model.apply(variables, x, train=train, **kw)
+    if train:
+        ref, ref_stats = ref
+        got, got_stats = got
+        for a, b in zip(jax.tree_util.tree_leaves(ref_stats),
+                        jax.tree_util.tree_leaves(got_stats)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-4)

@@ -128,3 +128,62 @@ def test_depth_norm_roundtrip_semantics():
     )
     inv = inverse_depth_norm(jnp.asarray([[0.0, 100.0, 2.0, 1.0]]), 10.0)
     np.testing.assert_allclose(np.asarray(inv), [[0.0, 0.1, 5.0, 10.0]], rtol=1e-6)
+
+
+def test_train_step_resizes_to_configured_resolution():
+    """--resolution training parity (src/GuideDepth/main.py:74-79): loader
+    batches LARGER than the configured resolution are down-resized on device
+    inside the train step; smaller fixtures pass through untouched."""
+    import optax
+
+    from tpudepth.models import build_model
+    from tpudepth.ops.image import resize_bilinear
+    from tpudepth.train.trainer import LossRecipe, TrainState, make_train_step
+
+    model = build_model("GuideDepth-S")
+    rng = np.random.default_rng(0)
+    image = rng.random((2, 64, 64, 3)).astype(np.float32)
+    depth = (rng.random((2, 64, 64, 1)) * 0.9 + 0.05).astype(np.float32)
+    variables = model.init(jax.random.PRNGKey(0),
+                           jnp.asarray(image[:1, :32, :32]), train=False)
+
+    def make(train_hw):
+        tx = optax.sgd(1e-3)
+        # fresh device buffers per run: the train step donates its state
+        params = jax.tree_util.tree_map(jnp.array, variables["params"])
+        stats = jax.tree_util.tree_map(
+            jnp.array, variables.get("batch_stats", {}))
+        state = TrainState(
+            step=jnp.zeros((), jnp.int32), params=params,
+            batch_stats=stats, opt_state=tx.init(params), tx=tx,
+            apply_fn=model.apply)
+        step = make_train_step(
+            model, LossRecipe(kind="alhashim", max_depth=10.0,
+                              depth_scale=10.0),
+            compute_dtype=jnp.float32, augment=False, train_hw=train_hw)
+        return step(state, jnp.asarray(image), jnp.asarray(depth),
+                    jax.random.PRNGKey(0))
+
+    # explicit-resize control: feed pre-resized batches with no train_hw
+    tx = optax.sgd(1e-3)
+    params_c = jax.tree_util.tree_map(jnp.array, variables["params"])
+    stats_c = jax.tree_util.tree_map(
+        jnp.array, variables.get("batch_stats", {}))
+    state_c = TrainState(
+        step=jnp.zeros((), jnp.int32), params=params_c,
+        batch_stats=stats_c, opt_state=tx.init(params_c), tx=tx,
+        apply_fn=model.apply)
+    step_c = make_train_step(
+        model, LossRecipe(kind="alhashim", max_depth=10.0, depth_scale=10.0),
+        compute_dtype=jnp.float32, augment=False)
+    img_small = resize_bilinear(jnp.asarray(image), (32, 32))
+    dep_small = resize_bilinear(jnp.asarray(depth), (32, 32))
+    _, want = step_c(state_c, img_small, dep_small, jax.random.PRNGKey(0))
+
+    _, got = make((32, 32))
+    assert float(got) == pytest.approx(float(want), rel=1e-6)
+
+    # train_hw larger than the data: no resize (fixtures pass through)
+    _, unchanged = make((256, 256))
+    _, native = make((64, 64))
+    assert float(unchanged) == pytest.approx(float(native), rel=1e-6)

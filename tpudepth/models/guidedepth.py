@@ -154,13 +154,24 @@ class GuideDepth(nn.Module):
     inner_features: Sequence[int] = (64, 32, 16)
     dtype: Optional[Any] = None
     packed: bool = True
-    # a stage packs while 4*expand stays within this channel budget (128 =
-    # one lane register; raising to 256 also packs the 64-ch quarter stage)
+    # a stage packs at block=2 while 4*expand stays within this channel
+    # budget (128 = one lane register)
     packed_max_channels: int = 128
+    # ... and at block=4 while 16*expand fits here (256 = two lane
+    # registers). The full-res c16 stage hits exactly 256: c256@H/4
+    # eliminates the lane-padding waste AND the relayout copies the c64
+    # packed-2 form pays (PERF.md round 2/3). Block-4 conv fwd+bwd is
+    # evidenced exact on the real chip (scripts/repro_c256_pack_bug.py).
+    packed_block4_max_channels: int = 256
 
     @nn.compact
     def __call__(self, x, train: bool = False):
-        from tpudepth.ops.packed import depth_to_space, space_to_depth, upsample2x_packed
+        from tpudepth.ops.packed import (
+            depth_to_space,
+            space_to_depth,
+            upsample2x_pack4,
+            upsample2x_packed,
+        )
 
         up, inner = list(self.up_features), list(self.inner_features)
         y = DualResNetBackbone(features=up[0], dtype=self.dtype,
@@ -175,14 +186,23 @@ class GuideDepth(nn.Module):
         for i in range(3):
             guide = guides[i]
             gh, gw = guide.shape[1:3]
-            use_pack = (
-                self.packed and 4 * inner[i] <= self.packed_max_channels
-                and gh % 2 == 0 and gw % 2 == 0
-            )
+            blk = 0
+            if self.packed:
+                if (16 * inner[i] <= self.packed_block4_max_channels
+                        and gh % 4 == 0 and gw % 4 == 0
+                        and y.shape[1] % 2 == 0 and y.shape[2] % 2 == 0):
+                    blk = 4
+                elif (4 * inner[i] <= self.packed_max_channels
+                      and gh % 2 == 0 and gw % 2 == 0):
+                    blk = 2
             gub = GuidedUpsamplingBlock(up[i], inner[i], outs[i],
                                         dtype=self.dtype, name=f"up_{i + 1}")
-            if use_pack:
-                y = upsample2x_packed(y)  # packed at guide resolution
+            if blk == 4:
+                y = upsample2x_pack4(y)  # packed-4 at guide resolution
+                y = gub(space_to_depth(guide, 4), y, train, packed=4)
+                y = depth_to_space(y, 4)
+            elif blk == 2:
+                y = upsample2x_packed(y)  # packed-2 at guide resolution
                 y = gub(space_to_depth(guide, 2), y, train, packed=2)
                 y = depth_to_space(y, 2)
             else:

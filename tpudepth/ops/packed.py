@@ -179,3 +179,60 @@ def upsample2x_packed(x: jax.Array) -> jax.Array:
         rows.append(0.25 * shift(r, 2, -1) + 0.75 * r)  # sx = 0
         rows.append(0.75 * r + 0.25 * shift(r, 2, +1))  # sx = 1
     return jnp.concatenate(rows, axis=-1).astype(x.dtype)
+
+
+def upsample2x_pack4(x: jax.Array) -> jax.Array:
+    """``space_to_depth(upsample2x_bilinear(x), 4)`` fused:
+    [B,H,W,C] -> [B,H/2,W/2,16C] packed (block=4) at resolution (2H,2W).
+
+    Same two taps as :func:`upsample2x_packed` (align_corners=False,
+    edge-clamped), but the 4x4 packing groups PAIRS of source pixels, so the
+    kernel works on the block-2 view ``g[sy][sx]`` of x and each of the 16
+    sub-positions (ty, tx) = (2*j + phase) combines the parity groups with
+    +/-1 coarse shifts. Channel order is the direct block-4 order
+    (s = ty*4 + tx, original channel fastest) — the order
+    :func:`pack_conv_kernel` with block=4 consumes. H and W must be even.
+    """
+    b, h, w, c = x.shape
+    assert h % 2 == 0 and w % 2 == 0, (h, w)
+    x4 = x.reshape(b, h // 2, 2, w // 2, 2, c)
+    # parity groups g[sy][sx]: [B, H/2, W/2, C]
+    g = [[x4[:, :, sy, :, sx, :] for sx in range(2)] for sy in range(2)]
+
+    def take(arr, axis, sl):
+        idx = [slice(None)] * arr.ndim
+        idx[axis] = sl
+        return arr[tuple(idx)]
+
+    def row_taps(gs, ty, axis):
+        """Fine line 4P+ty of up2x along ``axis`` from parity groups
+        gs = (g0, g1): two-tap lerp. The cross-coarse neighbors (ty 0 and 3)
+        clamp on the ORIGINAL grid, so the clamped edge entry comes from the
+        OTHER parity group (y[-1] -> y[0] = g0's first, y[n] -> y[n-1] =
+        g1's last)."""
+        g0, g1 = gs
+        if ty == 0:   # prev fine line = y[2P-1]: g1[P-1], edge -> g0[0]
+            n = g1.shape[axis]
+            prev = jnp.concatenate(
+                [take(g0, axis, slice(0, 1)), take(g1, axis, slice(0, n - 1))],
+                axis=axis)
+            return 0.25 * prev + 0.75 * g0
+        if ty == 1:   # cur = g0, next = g1 (same coarse row)
+            return 0.75 * g0 + 0.25 * g1
+        if ty == 2:   # cur = g1, prev = g0 (same coarse row)
+            return 0.25 * g0 + 0.75 * g1
+        # ty == 3: next fine line = y[2P+2]: g0[P+1], edge -> g1[n-1]
+        n = g0.shape[axis]
+        nxt = jnp.concatenate(
+            [take(g0, axis, slice(1, n)), take(g1, axis, slice(n - 1, n))],
+            axis=axis)
+        return 0.75 * g1 + 0.25 * nxt
+
+    outs = []
+    for ty in range(4):
+        # row-interpolate each column-parity group first
+        r0 = row_taps((g[0][0], g[1][0]), ty, 1)  # sx = 0 columns
+        r1 = row_taps((g[0][1], g[1][1]), ty, 1)  # sx = 1 columns
+        for tx in range(4):
+            outs.append(row_taps((r0, r1), tx, 2))
+    return jnp.concatenate(outs, axis=-1).astype(x.dtype)

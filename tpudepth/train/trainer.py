@@ -170,6 +170,7 @@ def make_train_step(
     check_nans: bool = False,
     depth_post_scale: float = 1.0,
     mesh=None,
+    train_hw: Optional[Tuple[int, int]] = None,
 ):
     """Build the jitted train step: (state, image, depth, rng) -> (state, loss).
 
@@ -179,6 +180,13 @@ def make_train_step(
     float expansion on the (single-core) host. ``depth_post_scale`` converts
     raw 16-bit depth values to meters (KITTI: 1/256) and is ONLY applied to
     integer-dtype depth — float batches were already scaled by the loader.
+
+    ``train_hw``: the configured training resolution. The reference's
+    (missing) data package resized batches to the ``--resolution`` setting on
+    the host (``src/GuideDepth/main.py:74-79`` — training at 'half' is its
+    default protocol); here the resize runs ON DEVICE, fused into the step.
+    Only a DOWN-resize is applied (loader larger than config): test fixtures
+    and pre-sized datasets pass through untouched.
     """
 
     apply_fn = model.apply
@@ -195,6 +203,12 @@ def make_train_step(
             depth = depth.astype(acc_dtype) * (depth_post_scale / 255.0)
         elif depth.dtype == jnp.uint16:
             depth = depth.astype(acc_dtype) * depth_post_scale
+        if train_hw is not None and (image.shape[1] > train_hw[0]
+                                     or image.shape[2] > train_hw[1]):
+            from tpudepth.ops.image import resize_bilinear
+
+            image = resize_bilinear(image, train_hw)
+            depth = resize_bilinear(depth, train_hw)
         if augment:
             image, depth = augment_batch(rng, image, depth)
         target = recipe.target(depth.astype(acc_dtype))
@@ -335,6 +349,7 @@ class Trainer:
             remat=cfg.remat,
             depth_post_scale=raw_depth_scale,
             mesh=self.mesh,
+            train_hw=cfg.image_size,
         )
         return self.state
 
@@ -394,6 +409,15 @@ class Trainer:
                 break
             image = jax.device_put(batch["image"], sharding)
             depth = jnp.asarray(batch["depth"], jnp.float32)
+            if image.dtype == jnp.uint8:
+                image = image.astype(jnp.float32) / 255.0
+            hw = cfg.image_size
+            if image.shape[1] > hw[0] or image.shape[2] > hw[1]:
+                # validate at the configured model resolution (the reference
+                # val loop consumes model-res batches from its loader)
+                from tpudepth.ops.image import resize_bilinear
+
+                image = resize_bilinear(image, hw)
             timer.data_done()
             inv_pred = eval_step(self.state.params, self.state.batch_stats, image)
             pred_m = inverse_depth_norm(inv_pred, cfg.max_depth)
