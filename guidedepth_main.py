@@ -105,8 +105,12 @@ def main():
             checkpoint_dir=args.save_checkpoint, results_dir=args.save_results,
         )
         print("Maximum Depth of Dataset: {}".format(config.max_depth))
+        # decode_hw: decode JPEGs directly at the training resolution when it
+        # divides the file dims (DCT scaling — single-core host lever); the
+        # train step additionally down-resizes on device if needed.
         train_loader, val_loader = get_training_testing_data(
-            args.batch_size, data_path, dataset=args.dataset)
+            args.batch_size, data_path, dataset=args.dataset,
+            decode_hw=config.image_size)
         trainer = Trainer(config, mesh=mesh, train_loader=train_loader,
                           val_loader=val_loader)
 

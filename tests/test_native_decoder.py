@@ -99,3 +99,57 @@ def test_dataset_uses_native_and_matches_pil(lib, tmp_path, rng):
     bp = ds_pil.get_batch(range(4))
     np.testing.assert_allclose(bn["image"], bp["image"], atol=1e-6)
     np.testing.assert_allclose(bn["depth"], bp["depth"], atol=1e-6)
+
+
+@pytest.fixture(scope="module")
+def synth_zip(tmp_path_factory):
+    from tpudepth.data import make_synthetic_zip
+
+    p = tmp_path_factory.mktemp("ndata") / "synth.zip"
+    return make_synthetic_zip(str(p), n_train=6, n_test=2, image_hw=(48, 64))
+
+
+def test_scaled_raw_decode_matches_box_average(synth_zip):
+    """scale_denom=2: PNG depth must equal the exact 2x2 integer box average;
+    JPEG rgb decodes via DCT scaling (different filter — assert close to the
+    box average of the full decode, not equal)."""
+    from tpudepth.data import native
+    from tpudepth.data.nyu import NYUDepthDataset, _box_down, load_zip_to_mem
+
+    if native.get_lib() is None:
+        pytest.skip("native decoder unavailable")
+    data, train, _ = load_zip_to_mem(synth_zip)
+    full = NYUDepthDataset(data, train, raw=True, background_fill=False)
+    (ih, iw, ic), (dh, dw, dc) = full._native_shapes
+    assert ih % 2 == 0 and iw % 2 == 0
+    half = NYUDepthDataset(data, train, raw=True, background_fill=False,
+                           decode_hw=(ih // 2, iw // 2))
+    assert half._scale == 2
+
+    b_full = full.get_batch_raw(range(3))
+    b_half = half.get_batch_raw(range(3))
+    assert b_half["image"].shape == (3, ih // 2, iw // 2, ic)
+    assert b_half["depth"].shape == (3, dh // 2, dw // 2, dc)
+    for j in range(3):
+        want_dep = _box_down(b_full["depth"][j], 2)
+        np.testing.assert_array_equal(b_half["depth"][j], want_dep)
+        want_img = _box_down(b_full["image"][j], 2).astype(np.int32)
+        got_img = b_half["image"][j].astype(np.int32)
+        # DCT-domain 1/2 decode vs box filter: close but not identical
+        assert np.mean(np.abs(got_img - want_img)) < 6.0
+
+
+def test_background_fill_populates_cache(synth_zip):
+    import time
+
+    from tpudepth.data.nyu import NYUDepthDataset, load_zip_to_mem
+
+    data, train, _ = load_zip_to_mem(synth_zip)
+    ds = NYUDepthDataset(data, train, raw=True, cache_decoded=True,
+                         background_fill=True)
+    deadline = time.time() + 30
+    while time.time() < deadline:
+        if ds._cache is not None and len(ds._cache) == len(ds.pairs):
+            break
+        time.sleep(0.2)
+    assert ds._cache is not None and len(ds._cache) == len(ds.pairs)

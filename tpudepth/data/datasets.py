@@ -45,6 +45,7 @@ def get_dataloader(
     raw: Optional[bool] = None,
     cache: Optional[bool] = None,
     cache_dir: Optional[str] = None,
+    decode_hw: Optional[tuple] = None,
 ) -> DataLoader:
     """Call-site-compatible with the reference's missing
     ``datasets.get_dataloader`` (``src/GuideDepth/training.py:42-48``).
@@ -66,13 +67,18 @@ def get_dataloader(
     if cache is None:
         cache = is_train
     shard_pairs = list(pairs)[shard::num_shards] if num_shards > 1 else pairs
+    if decode_hw is None and raw and is_train:
+        # decode directly at the configured training resolution when it
+        # exactly divides the file dims (DCT-scaled JPEG / box-avg PNG)
+        decode_hw = RESOLUTIONS.get(dataset, {}).get(resolution)
     ds = NYUDepthDataset(data, pairs, shard=shard, num_shards=num_shards,
                          decode_workers=max(workers, 2),
                          depth_post_scale=depth_scale,
                          raw=raw, cache_decoded=cache,
                          max_cache_gb=_available_ram_gb() * 0.5,
                          cache_dir=cache_dir,
-                         cache_key=dataset_cache_key(path, shard_pairs))
+                         cache_key=dataset_cache_key(path, shard_pairs),
+                         decode_hw=decode_hw if raw else None)
     return DataLoader(
         ds,
         batch_size,

@@ -70,6 +70,15 @@ def get_lib() -> Optional[ctypes.CDLL]:
             ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
             ctypes.c_int,
         ]
+        lib.tpudepth_decode_batch_raw_scaled.restype = ctypes.c_int
+        lib.tpudepth_decode_batch_raw_scaled.argtypes = [
+            ctypes.POINTER(ctypes.c_char_p),
+            ctypes.POINTER(ctypes.c_size_t),
+            ctypes.c_int,
+            ctypes.c_void_p,
+            ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+            ctypes.c_int, ctypes.c_int,
+        ]
         lib.tpudepth_probe.restype = ctypes.c_int
         lib.tpudepth_probe.argtypes = [
             ctypes.c_char_p, ctypes.c_size_t,
@@ -121,11 +130,17 @@ def decode_batch(
 
 
 def decode_batch_raw(
-    bufs: List[bytes], h: int, w: int, c: int, bit_depth: int, nthreads: int = 0
+    bufs: List[bytes], h: int, w: int, c: int, bit_depth: int,
+    nthreads: int = 0, scale_denom: int = 1
 ) -> Optional[np.ndarray]:
     """Decode into raw integer pixels: uint8 [n,h,w,c] for 8-bit sources,
     uint16 for 16-bit PNG. Normalization (/255, /256) is the device's job —
-    this keeps the single-core host path to a pure decode + memcpy."""
+    this keeps the single-core host path to a pure decode + memcpy.
+
+    ``scale_denom`` in {1,2,4,8}: (h, w) are the OUTPUT dims, files must be
+    (h*s, w*s). JPEGs decode directly at 1/s via libjpeg DCT scaling
+    (~s^2 cheaper — the single-core host's lever for half-res configs);
+    PNGs box-average s x s blocks."""
     lib = get_lib()
     if lib is None:
         return None
@@ -136,9 +151,9 @@ def decode_batch_raw(
     out = np.empty((n, h, w, c), dtype=dtype)
     arr_bufs = (ctypes.c_char_p * n)(*bufs)
     arr_sizes = (ctypes.c_size_t * n)(*[len(b) for b in bufs])
-    rc = lib.tpudepth_decode_batch_raw(
+    rc = lib.tpudepth_decode_batch_raw_scaled(
         arr_bufs, arr_sizes, n, out.ctypes.data_as(ctypes.c_void_p),
-        h, w, c, bit_depth, nthreads,
+        h, w, c, bit_depth, scale_denom, nthreads,
     )
     if rc != 0:
         return None

@@ -163,8 +163,12 @@ bool is_jpeg(const uint8_t* buf, size_t size) {
 // bytes verbatim: uint8 for 8-bit sources, uint16 for 16-bit PNG depth.
 // ---------------------------------------------------------------------------
 
+// `scale_denom` (1/2/4/8) engages libjpeg DCT scaling: the file is decoded
+// directly at 1/scale size for ~scale^2 less IDCT + color work — the
+// single-core host's only lever for feeding reduced-resolution training
+// configs (240x320 from the NYU 480x640 JPEGs) at device rate.
 int decode_jpeg_one_u8(const uint8_t* buf, size_t size, uint8_t* out, int h,
-                       int w, int c) {
+                       int w, int c, int scale_denom = 1) {
   jpeg_decompress_struct cinfo;
   JpegErrorMgr jerr;
   cinfo.err = jpeg_std_error(&jerr.pub);
@@ -178,6 +182,8 @@ int decode_jpeg_one_u8(const uint8_t* buf, size_t size, uint8_t* out, int h,
                static_cast<unsigned long>(size));
   jpeg_read_header(&cinfo, TRUE);
   cinfo.out_color_space = (c == 1) ? JCS_GRAYSCALE : JCS_RGB;
+  cinfo.scale_num = 1;
+  cinfo.scale_denom = scale_denom;
   jpeg_start_decompress(&cinfo);
   if (static_cast<int>(cinfo.output_height) != h ||
       static_cast<int>(cinfo.output_width) != w ||
@@ -196,9 +202,13 @@ int decode_jpeg_one_u8(const uint8_t* buf, size_t size, uint8_t* out, int h,
 }
 
 // 8-bit sources -> uint8 out; 16-bit PNG -> uint16 out (host-endian values).
-// `want_bits` must match the file's decoded bit depth.
+// `want_bits` must match the file's decoded bit depth. `scale_denom` > 1
+// box-averages scale x scale pixel blocks into each output pixel (the exact
+// equivalent of align_corners=False bilinear 1/2-downscale when scale=2),
+// rounding to nearest integer — PNG has no DCT shortcut, but the averaging
+// happens on the decode row buffer with integer math.
 int decode_png_one_raw(const uint8_t* buf, size_t size, void* out, int h,
-                       int w, int c, int want_bits) {
+                       int w, int c, int want_bits, int scale_denom = 1) {
   png_structp png =
       png_create_read_struct(PNG_LIBPNG_VER_STRING, nullptr, nullptr, nullptr);
   if (!png) return 1;
@@ -220,7 +230,8 @@ int decode_png_one_raw(const uint8_t* buf, size_t size, void* out, int h,
   int bit_depth = png_get_bit_depth(png, info);
   int color_type = png_get_color_type(png, info);
 
-  if (height != h || width != w) {
+  const int s = scale_denom < 1 ? 1 : scale_denom;
+  if (height != h * s || width != w * s) {
     png_destroy_read_struct(&png, &info, nullptr);
     return 2;
   }
@@ -238,20 +249,62 @@ int decode_png_one_raw(const uint8_t* buf, size_t size, void* out, int h,
   }
 
   size_t rowbytes = png_get_rowbytes(png, info);
+  std::vector<uint8_t> row(rowbytes);
+  const int fw = w * s;  // file width
+  const uint32_t half = static_cast<uint32_t>(s) * s / 2;
+
+  // rowacc[fw*c]: elementwise sum of s file rows (vectorizable), then a
+  // horizontal s-fold reduce per output pixel.
+  std::vector<uint32_t> rowacc;
+  if (s > 1) rowacc.resize(static_cast<size_t>(fw) * c);
+
   if (bit_depth == 16) {
-    std::vector<uint8_t> row(rowbytes);
     uint16_t* out16 = static_cast<uint16_t*>(out);
     for (int y = 0; y < h; ++y) {
-      png_read_row(png, row.data(), nullptr);
-      uint16_t* dst = out16 + static_cast<size_t>(y) * w * c;
-      for (int i = 0; i < w * c; ++i) {
-        dst[i] = static_cast<uint16_t>((row[2 * i] << 8) | row[2 * i + 1]);
+      if (s == 1) {
+        png_read_row(png, row.data(), nullptr);
+        uint16_t* dst = out16 + static_cast<size_t>(y) * w * c;
+        for (int i = 0; i < w * c; ++i) {
+          dst[i] = static_cast<uint16_t>((row[2 * i] << 8) | row[2 * i + 1]);
+        }
+      } else {
+        std::fill(rowacc.begin(), rowacc.end(), 0u);
+        for (int sy = 0; sy < s; ++sy) {
+          png_read_row(png, row.data(), nullptr);
+          for (int i = 0; i < fw * c; ++i)
+            rowacc[i] += static_cast<uint32_t>((row[2 * i] << 8) |
+                                               row[2 * i + 1]);
+        }
+        uint16_t* dst = out16 + static_cast<size_t>(y) * w * c;
+        for (int x = 0; x < w; ++x) {
+          for (int ch = 0; ch < c; ++ch) {
+            uint32_t sum = 0;
+            for (int k = 0; k < s; ++k) sum += rowacc[(x * s + k) * c + ch];
+            dst[x * c + ch] = static_cast<uint16_t>((sum + half) / (s * s));
+          }
+        }
       }
     }
   } else {
     uint8_t* out8 = static_cast<uint8_t*>(out);
     for (int y = 0; y < h; ++y) {
-      png_read_row(png, out8 + static_cast<size_t>(y) * w * c, nullptr);
+      if (s == 1) {
+        png_read_row(png, out8 + static_cast<size_t>(y) * w * c, nullptr);
+      } else {
+        std::fill(rowacc.begin(), rowacc.end(), 0u);
+        for (int sy = 0; sy < s; ++sy) {
+          png_read_row(png, row.data(), nullptr);
+          for (int i = 0; i < fw * c; ++i) rowacc[i] += row[i];
+        }
+        uint8_t* dst = out8 + static_cast<size_t>(y) * w * c;
+        for (int x = 0; x < w; ++x) {
+          for (int ch = 0; ch < c; ++ch) {
+            uint32_t sum = 0;
+            for (int k = 0; k < s; ++k) sum += rowacc[(x * s + k) * c + ch];
+            dst[x * c + ch] = static_cast<uint8_t>((sum + half) / (s * s));
+          }
+        }
+      }
     }
   }
   png_destroy_read_struct(&png, &info, nullptr);
@@ -299,11 +352,17 @@ int tpudepth_decode_batch(const uint8_t** bufs, const size_t* sizes, int n,
 
 // Raw integer batch decode: bit_depth 8 -> out is uint8 [n, h, w, c],
 // bit_depth 16 -> out is uint16 [n, h, w, c] (PNG only). No float conversion;
-// normalization (/255 etc.) happens on the accelerator.
-int tpudepth_decode_batch_raw(const uint8_t** bufs, const size_t* sizes, int n,
-                              void* out, int h, int w, int c, int bit_depth,
-                              int nthreads) {
+// normalization (/255 etc.) happens on the accelerator. (h, w) are OUTPUT
+// dims: with scale_denom > 1 (1/2/4/8) the files must be (h*s, w*s) —
+// JPEGs decode directly at 1/s via DCT scaling, PNGs box-average s x s.
+int tpudepth_decode_batch_raw_scaled(const uint8_t** bufs, const size_t* sizes,
+                                     int n, void* out, int h, int w, int c,
+                                     int bit_depth, int scale_denom,
+                                     int nthreads) {
   if (bit_depth != 8 && bit_depth != 16) return 3;
+  if (scale_denom != 1 && scale_denom != 2 && scale_denom != 4 &&
+      scale_denom != 8)
+    return 3;
   if (nthreads < 1) nthreads = 1;
   if (nthreads > n) nthreads = n;
   std::atomic<int> next(0);
@@ -319,7 +378,7 @@ int tpudepth_decode_batch_raw(const uint8_t** bufs, const size_t* sizes, int n,
         rc = (bit_depth == 8)
                  ? decode_jpeg_one_u8(bufs[i], sizes[i],
                                       static_cast<uint8_t*>(out) + i * stride,
-                                      h, w, c)
+                                      h, w, c, scale_denom)
                  : 3;
       } else {
         void* dst = (bit_depth == 16)
@@ -327,7 +386,8 @@ int tpudepth_decode_batch_raw(const uint8_t** bufs, const size_t* sizes, int n,
                                              i * stride)
                         : static_cast<void*>(static_cast<uint8_t*>(out) +
                                              i * stride);
-        rc = decode_png_one_raw(bufs[i], sizes[i], dst, h, w, c, bit_depth);
+        rc = decode_png_one_raw(bufs[i], sizes[i], dst, h, w, c, bit_depth,
+                                scale_denom);
       }
       if (rc != 0) {
         int expected = 0;
@@ -341,6 +401,13 @@ int tpudepth_decode_batch_raw(const uint8_t** bufs, const size_t* sizes, int n,
   for (int t = 0; t < nthreads; ++t) threads.emplace_back(worker);
   for (auto& th : threads) th.join();
   return status.load();
+}
+
+int tpudepth_decode_batch_raw(const uint8_t** bufs, const size_t* sizes, int n,
+                              void* out, int h, int w, int c, int bit_depth,
+                              int nthreads) {
+  return tpudepth_decode_batch_raw_scaled(bufs, sizes, n, out, h, w, c,
+                                          bit_depth, 1, nthreads);
 }
 
 // Probe an encoded image's dimensions: fills h, w, channels, bit_depth.

@@ -100,6 +100,15 @@ def _decode_raw(buf: bytes) -> np.ndarray:
     return out
 
 
+def _box_down(arr: np.ndarray, s: int) -> np.ndarray:
+    """Exact s x s box average (integer, round-to-nearest) — the PIL-fallback
+    equivalent of the native decoder's scaled path."""
+    h, w, c = arr.shape
+    a = arr.reshape(h // s, s, w // s, s, c).astype(np.uint32)
+    a = a.sum(axis=(1, 3))
+    return ((a + s * s // 2) // (s * s)).astype(arr.dtype)
+
+
 class NYUDepthDataset:
     """In-memory (rgb, depth) pair dataset (``depthDatasetMemory``,
     ``src/data.py:77-98``) with threaded batch decode."""
@@ -118,6 +127,8 @@ class NYUDepthDataset:
         raw: bool = False,
         cache_dir: Optional[str] = None,
         cache_key: Optional[str] = None,
+        decode_hw: Optional[Tuple[int, int]] = None,
+        background_fill: bool = True,
     ):
         if num_shards > 1:
             pairs = list(pairs)[shard::num_shards]
@@ -133,8 +144,27 @@ class NYUDepthDataset:
         self._pool = ThreadPoolExecutor(max_workers=decode_workers)
         self._native_shapes = None  # ((h,w,c), (h,w,c)) for (rgb, depth)
         self._native_bits = None  # (rgb_bit_depth, depth_bit_depth)
+        # Reduced-resolution decode (raw mode only): when the requested
+        # (h, w) divides the file dims by 2/4/8, JPEGs decode directly at
+        # 1/s via libjpeg DCT scaling (~s^2 cheaper on this single-core
+        # host) and PNG depth box-averages s x s — the decoded-once cache
+        # then stores 1/s^2 the bytes. Note the two downscales are not
+        # bit-identical to a bilinear resize of the full decode (DCT-domain
+        # scaling vs box filter); both are valid decodes for training.
+        self._scale = 1
         if use_native and self.pairs:
             self._probe_native()
+        if decode_hw is not None and self._native_shapes is not None:
+            assert raw, "decode_hw requires the raw pipeline"
+            (ih, iw, ic), (dh, dw, dc) = self._native_shapes
+            for s in (2, 4, 8):
+                if (ih, iw) == (decode_hw[0] * s, decode_hw[1] * s) and (
+                        dh, dw) == (decode_hw[0] * s, decode_hw[1] * s):
+                    self._scale = s
+                    self._native_shapes = (
+                        (decode_hw[0], decode_hw[1], ic),
+                        (decode_hw[0], decode_hw[1], dc))
+                    break
         # Optional decode-once cache: at TPU train rates the per-epoch JPEG
         # decode is the host bottleneck (PERF.md); pixels are stored in their
         # native integer dtype (uint8 rgb, uint8/uint16 depth).
@@ -148,9 +178,12 @@ class NYUDepthDataset:
 
             (ih, iw, ic), (dh, dw, dc) = self._native_shapes
             dep_dtype = np.uint16 if self._native_bits[1] == 16 else np.uint8
+            key = cache_key or dataset_cache_key("", self.pairs)
+            if self._scale > 1:  # scaled pixels live in their own cache dir
+                key = f"{key}_s{self._scale}"
             try:
                 self._disk = RawDiskCache(
-                    cache_dir, cache_key or dataset_cache_key("", self.pairs),
+                    cache_dir, key,
                     len(self.pairs), (ih, iw, ic), (dh, dw, dc), dep_dtype)
             except OSError:
                 self._disk = None
@@ -161,6 +194,35 @@ class NYUDepthDataset:
             if total_gb <= max_cache_gb:
                 self._cache = {}
             # else: silently fall back to streaming decode
+        # Overlap the decode-once cache fill with everything else the process
+        # does (jit compiles cost minutes on this setup; the native decode
+        # releases the GIL): a daemon thread fills unseen indices in order.
+        self._fill_stop = False
+        if background_fill and (self._disk is not None or self._cache is not None):
+            threading.Thread(target=self._background_fill, daemon=True).start()
+
+    def _background_fill(self, chunk: int = 32):
+        """Fill the raw cache front-to-back in chunks; no-op on cached rows.
+        Runs on a daemon thread — harmless overlap on a single core because
+        the native decode releases the GIL and the OS timeslices."""
+        try:
+            n = len(self.pairs)
+            for start in range(0, n, chunk):
+                if self._fill_stop:
+                    return
+                idx = [i for i in range(start, min(start + chunk, n))
+                       if not self._has_cached(i)]
+                if idx:
+                    self.get_batch_raw(idx)
+        except Exception:
+            return  # best-effort: the foreground path still decodes on miss
+
+    def _has_cached(self, i: int) -> bool:
+        if self._disk is not None:
+            return self._disk.has(i)
+        if self._cache is not None:
+            return i in self._cache
+        return True
 
     def _probe_native(self):
         """Learn the dataset's (uniform) image dims so batches can decode
@@ -203,6 +265,9 @@ class NYUDepthDataset:
         rgb_name, depth_name = self.pairs[idx][0], self.pairs[idx][1]
         img = _decode_raw(self.data[rgb_name])
         dep = _decode_raw(self.data[depth_name])
+        if self._scale > 1:
+            img = _box_down(img, self._scale)
+            dep = _box_down(dep, self._scale)
         if self._disk is not None:
             self._disk.put(idx, img, dep)
         elif self._cache is not None:
@@ -263,8 +328,10 @@ class NYUDepthDataset:
             ibits, dbits = self._native_bits
             rgb_bufs = [self.data[self.pairs[i][0]] for i in indices]
             dep_bufs = [self.data[self.pairs[i][1]] for i in indices]
-            images = native.decode_batch_raw(rgb_bufs, ih, iw, ic, ibits)
-            depths = native.decode_batch_raw(dep_bufs, dh, dw, dc, dbits)
+            images = native.decode_batch_raw(rgb_bufs, ih, iw, ic, ibits,
+                                             scale_denom=self._scale)
+            depths = native.decode_batch_raw(dep_bufs, dh, dw, dc, dbits,
+                                             scale_denom=self._scale)
             if images is not None and depths is not None:
                 if self._disk is not None:
                     for j, i in enumerate(indices):
@@ -380,6 +447,7 @@ def get_training_testing_data(
     raw: Optional[bool] = None,
     cache: Optional[bool] = None,
     cache_dir: Optional[str] = None,
+    decode_hw: Optional[Tuple[int, int]] = None,
 ) -> Tuple[DataLoader, DataLoader]:
     """``getTrainingTestingData`` parity (``src/data.py:171-179``): train
     loader shuffled, test loader in csv order.
@@ -407,7 +475,8 @@ def get_training_testing_data(
                             cache_decoded=cache,
                             max_cache_gb=_available_ram_gb() * 0.5,
                             cache_dir=cache_dir,
-                            cache_key=dataset_cache_key(zip_path, shard_pairs))
+                            cache_key=dataset_cache_key(zip_path, shard_pairs),
+                            decode_hw=decode_hw if raw else None)
     test = NYUDepthDataset(data, test_pairs, depth_post_scale=depth_scale)
     return (
         DataLoader(train, batch_size, shuffle=True, sharding=sharding),
