@@ -14,6 +14,13 @@ see tpudepth/core/mesh.py:min_spatial_height for the guard.
   avgpool2_fuse_4 main H=4, side H=2: ratio 1.686  (BUG)
   fuse_8_2        main H=8, side H=2: ratio 1.000  (clean)
   (fuse_4_2       main H=4, side H=2 deep-chain: ratio 3.462 (BUG))
+
+Verified workarounds (round 3; full issue writeup: docs/xla_spmd_grad_bug.md):
+constraining EITHER fuse operand off the model axis restores ratio 1.0000 —
+  wa_side_repl    side branch constrained to P('data') before resize: 1.000
+  wa_main_repl    main branch constrained to P('data') at the fuse:   1.000
+(the constraint must cover the tensor entering the add; constraining the
+pool output upstream of the side conv does NOT fix it).
 """
 import os
 os.environ["XLA_FLAGS"] = os.environ.get("XLA_FLAGS","") + " --xla_force_host_platform_device_count=8"
@@ -46,6 +53,13 @@ def down_to(x, w1, w2, n):
         y = jax.nn.relu(bn(conv(y, w2, 2)))
     return y
 
+_MESH = [None]
+def _wsc_data(t):
+    """Workaround constraint: drop the model-axis sharding (no-op 1-dev)."""
+    if _MESH[0] is None:
+        return t
+    return jax.lax.with_sharding_constraint(t, NamedSharding(_MESH[0], P("data")))
+
 CASES = {
   # main branch H=8 (2 rows/dev); pooled branch H=1 via global mean -> conv -> resize-up -> add
   "gpool_fuse_8": lambda w1, w2, x: (lambda y: y + resize_bilinear(conv(jnp.mean(y, axis=(1,2), keepdims=True), w2, 1), (8,8)))(down_to(x, w1, w2, 3)),
@@ -55,6 +69,9 @@ CASES = {
   "avgpool2_fuse_4": lambda w1, w2, x: (lambda y: y + resize_bilinear(conv(avg_pool(y, 5, 2, 2), w2, 1), (4,4)))(down_to(x, w1, w2, 4)),
   # conv chain to H=2 then resize to 8, fused with H=8 branch (skip-level fuse)
   "fuse_8_2": lambda w1, w2, x: down_to(x, w1, w2, 3) + resize_bilinear(conv(down_to(x, w1, w2, 5), w2, 1), (8, 8)),
+  # the failing pattern + each verified workaround (docs/xla_spmd_grad_bug.md)
+  "wa_side_repl": lambda w1, w2, x: (lambda y: y + resize_bilinear(_wsc_data(conv(avg_pool(y, 5, 2, 2), w2, 1)), (4,4)))(down_to(x, w1, w2, 4)),
+  "wa_main_repl": lambda w1, w2, x: (lambda y: _wsc_data(y) + resize_bilinear(conv(avg_pool(y, 5, 2, 2), w2, 1), (4,4)))(down_to(x, w1, w2, 4)),
 }
 for name, f in CASES.items():
     def loss(w1, w2, x):
@@ -64,6 +81,7 @@ for name, f in CASES.items():
     for nd, nm in [(1,1),(2,4)]:
         devs = np.asarray(jax.devices()[:nd*nm]).reshape(nd, nm)
         mesh = Mesh(devs, ("data","model"))
+        _MESH[0] = mesh if nd * nm > 1 else None
         xs = jax.device_put(jnp.asarray(x), NamedSharding(mesh, P("data","model")))
         ws1 = jax.device_put(jnp.asarray(w1), NamedSharding(mesh, P()))
         ws2 = jax.device_put(jnp.asarray(w2), NamedSharding(mesh, P()))

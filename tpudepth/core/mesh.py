@@ -46,8 +46,10 @@ def despatialize(x: jax.Array) -> jax.Array:
     1. Correctness: XLA's SPMD partitioner MISCOMPILES the backward of
        pyramid-fusion patterns once a fused tensor's sharded height reaches
        one row per device (2-30x inflated gradient norms, forward correct —
-       scripts/repro_spmd_grad_bug.py). Constraining the deep stages to
-       P('data') keeps the partitioner off that path at every resolution.
+       scripts/repro_spmd_grad_bug.py; upstream-ready issue writeup with the
+       verified minimal workarounds: docs/xla_spmd_grad_bug.md). Constraining
+       EITHER fuse operand to P('data') fixes it exactly; this helper applies
+       it to the main branch, which also serves reason 2.
     2. Performance: at H/16 and below the per-device spatial shards are tiny
        and conv halo exchange dominates; deep stages are better replicated
        across the model axis anyway.
