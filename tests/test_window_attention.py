@@ -208,3 +208,31 @@ def test_pallas_fused_backward_matches_xla(rng, with_mask):
     np.testing.assert_allclose(np.asarray(dk), np.asarray(wk), rtol=1e-4, atol=1e-5)
     np.testing.assert_allclose(np.asarray(dv), np.asarray(wv), rtol=1e-4, atol=1e-5)
     np.testing.assert_allclose(np.asarray(dbias), np.asarray(wbias), rtol=1e-4, atol=1e-4)
+
+
+@pytest.mark.parametrize("heads,c,bw,nw", [(4, 128, 36, 9), (8, 256, 24, 6), (32, 1024, 18, 9)])
+@pytest.mark.parametrize("with_mask", [False, True])
+def test_packed_infer_kernel_matches_xla(rng, heads, c, bw, nw, with_mask):
+    """The channel-packed inference kernel (TPU eval dispatch) must match the
+    golden XLA path exactly in f32: per-head lane slices, VMEM softmax, and
+    the [B, nW]-major mask block indexing (all decoder head configs)."""
+    from tpudepth.ops.attention import _from_heads, _to_heads
+    from tpudepth.ops.pallas.window_attn_infer import window_attention_infer
+
+    n = 49
+    q = jnp.asarray(rng.standard_normal((bw, n, c)).astype(np.float32))
+    k = jnp.asarray(rng.standard_normal((bw, n, c)).astype(np.float32))
+    v = jnp.asarray(rng.standard_normal((bw, n, c)).astype(np.float32))
+    bias = jnp.asarray(rng.standard_normal((heads, n, n)).astype(np.float32))
+    mask = (
+        jnp.asarray((rng.random((nw, n, n)) > 0.5).astype(np.float32) * -100.0)
+        if with_mask
+        else None
+    )
+    ref = _from_heads(
+        window_cross_attention_xla(
+            _to_heads(q, heads), _to_heads(k, heads), _to_heads(v, heads), bias, mask
+        )
+    )
+    got = window_attention_infer(q, k, v, bias, mask, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=1e-5, atol=1e-5)

@@ -18,7 +18,7 @@ import jax
 import jax.numpy as jnp
 
 from tpudepth.models.layers import Conv, LayerNorm, Mlp
-from tpudepth.ops.attention import window_cross_attention
+from tpudepth.ops.attention import window_cross_attention_packed
 from tpudepth.ops.window import (
     pad_to_window_multiple,
     relative_position_index,
@@ -49,13 +49,9 @@ class WindowAttentionQKfromX(nn.Module):
 
         qk = nn.Dense(2 * c, dtype=self.dtype, param_dtype=jnp.float32, name="qk")(x_windows)
         q, k = jnp.split(qk, 2, axis=-1)
-
-        def to_heads(t):
-            return t.reshape(bw, n, heads, head_dim).transpose(0, 2, 1, 3)
-
-        q = to_heads(q) * scale
-        k = to_heads(k)
-        v = to_heads(v_windows)  # values used raw, no projection (:143-144)
+        q = q * scale
+        # values used raw, no projection (:143-144); q/k/v stay channel-packed
+        # [BW, N, C] — head splitting happens inside the attention op.
 
         table = self.param(
             "relative_position_bias_table",
@@ -66,8 +62,9 @@ class WindowAttentionQKfromX(nn.Module):
         idx = relative_position_index(self.window_size).reshape(-1)
         bias = table[idx].reshape(n, n, heads).transpose(2, 0, 1)
 
-        out = window_cross_attention(q, k, v, bias, mask, use_pallas=self.use_pallas)
-        out = out.transpose(0, 2, 1, 3).reshape(bw, n, c)
+        out = window_cross_attention_packed(
+            q, k, v_windows, bias, mask, use_pallas=self.use_pallas
+        )
         return nn.Dense(c, dtype=self.dtype, param_dtype=jnp.float32, name="proj")(out)
 
 

@@ -43,6 +43,53 @@ def training_mode(on: bool = True):
         _TRAINING.reset(token)
 
 
+def _to_heads(t: jax.Array, heads: int) -> jax.Array:
+    bw, n, c = t.shape
+    return t.reshape(bw, n, heads, c // heads).transpose(0, 2, 1, 3)
+
+
+def _from_heads(t: jax.Array) -> jax.Array:
+    bw, h, n, d = t.shape
+    return t.transpose(0, 2, 1, 3).reshape(bw, n, h * d)
+
+
+def window_cross_attention_packed(
+    q: jax.Array,
+    k: jax.Array,
+    v: jax.Array,
+    bias: jax.Array,
+    mask: Optional[jax.Array] = None,
+    *,
+    use_pallas: Optional[bool] = None,
+) -> jax.Array:
+    """Channel-packed window attention: q/k/v and output are [BW, N, C].
+
+    This is the call sites' natural layout (straight out of the QK/KV
+    projections, straight into the output projection). On TPU inference it
+    dispatches to the fused channel-packed Pallas kernel
+    (:mod:`tpudepth.ops.pallas.window_attn_infer`) — no head-split transposes
+    and no [BW, heads, N, N] probability round-trips through HBM, which
+    profiling showed dominate the NewCRF eval path (PERF.md round 3). All
+    other contexts (training, CPU, TPUDEPTH_ATTN overrides) split heads and
+    defer to :func:`window_cross_attention`.
+    """
+    import os
+
+    heads = bias.shape[0]
+    env = os.environ.get("TPUDEPTH_ATTN")
+    eval_on_tpu = jax.default_backend() == "tpu" and not _TRAINING.get()
+    want_packed = use_pallas if use_pallas is not None else env not in ("xla", "fast")
+    if eval_on_tpu and want_packed:
+        from tpudepth.ops.pallas.window_attn_infer import window_attention_infer
+
+        return window_attention_infer(q, k, v, bias, mask)
+    out = window_cross_attention(
+        _to_heads(q, heads), _to_heads(k, heads), _to_heads(v, heads),
+        bias, mask, use_pallas=use_pallas,
+    )
+    return _from_heads(out)
+
+
 def window_cross_attention(
     q: jax.Array,
     k: jax.Array,
