@@ -50,10 +50,10 @@ def main():
 
     @functools.partial(jax.jit, static_argnames="block")
     def packed_once(x, w, block):
-        wp, pad = pack_conv_kernel(w, block)
+        wp, (py, px) = pack_conv_kernel(w, block)
         xp = space_to_depth(x, block)
         yp = jax.lax.conv_general_dilated(
-            xp, wp.astype(x.dtype), (1, 1), [(pad, pad), (pad, pad)],
+            xp, wp.astype(x.dtype), (1, 1), [(py, py), (px, px)],
             dimension_numbers=("NHWC", "HWIO", "NHWC"),
         )
         return depth_to_space(yp, block)
@@ -65,10 +65,10 @@ def main():
         wp1, pad1 = pack_conv_kernel(w, 2)
         # second packing treats the once-packed conv as a plain k x k conv
         # with its own padding; only valid when pad1 == (kp1 - 1) // 2
-        wp2, pad2 = pack_conv_kernel(wp1, 2)
+        wp2, (py2, px2) = pack_conv_kernel(wp1, 2)
         xp = space_to_depth(space_to_depth(x, 2), 2)
         yp = jax.lax.conv_general_dilated(
-            xp, wp2.astype(x.dtype), (1, 1), [(pad2, pad2), (pad2, pad2)],
+            xp, wp2.astype(x.dtype), (1, 1), [(py2, py2), (px2, px2)],
             dimension_numbers=("NHWC", "HWIO", "NHWC"),
         )
         return depth_to_space(depth_to_space(yp, 2), 2)
@@ -77,15 +77,15 @@ def main():
     def chain_packed(x, w1, w2, block):
         """conv -> relu -> conv in packed space (the GUB pattern), unpacking
         only at the end."""
-        wp1, pad1 = pack_conv_kernel(w1, block)
-        wp2, pad2 = pack_conv_kernel(w2, block)
+        wp1, (py1, px1) = pack_conv_kernel(w1, block)
+        wp2, (py2, px2) = pack_conv_kernel(w2, block)
         xp = space_to_depth(x, block)
         y = jax.lax.conv_general_dilated(
-            xp, wp1.astype(x.dtype), (1, 1), [(pad1, pad1), (pad1, pad1)],
+            xp, wp1.astype(x.dtype), (1, 1), [(py1, py1), (px1, px1)],
             dimension_numbers=("NHWC", "HWIO", "NHWC"))
         y = jax.nn.relu(y)
         y = jax.lax.conv_general_dilated(
-            y, wp2.astype(x.dtype), (1, 1), [(pad2, pad2), (pad2, pad2)],
+            y, wp2.astype(x.dtype), (1, 1), [(py2, py2), (px2, px2)],
             dimension_numbers=("NHWC", "HWIO", "NHWC"))
         return depth_to_space(y, block)
 

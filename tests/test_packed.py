@@ -30,6 +30,22 @@ def test_space_to_depth_roundtrip(rng):
     np.testing.assert_array_equal(np.asarray(depth_to_space(xp, 2)), np.asarray(x))
 
 
+def test_space_to_depth_rect_roundtrip(rng):
+    x = jnp.asarray(rng.random((2, 8, 12, 5)), jnp.float32)
+    xp = space_to_depth(x, (2, 4))
+    assert xp.shape == (2, 4, 3, 40)
+    np.testing.assert_array_equal(
+        np.asarray(depth_to_space(xp, (2, 4))), np.asarray(x))
+    # layout: packed channel index = (sy*bx + sx)*C + c
+    xn = np.asarray(x)
+    xpn = np.asarray(xp)
+    for sy in range(2):
+        for sx in range(4):
+            for c in range(5):
+                np.testing.assert_array_equal(
+                    xpn[0, :, :, (sy * 4 + sx) * 5 + c], xn[0, sy::2, sx::4, c])
+
+
 def test_space_to_depth_layout(rng):
     """Packed channel index = (sy*b+sx)*C + c."""
     x = jnp.asarray(rng.random((1, 4, 4, 3)), jnp.float32)
@@ -43,8 +59,9 @@ def test_space_to_depth_layout(rng):
                 )
 
 
+@pytest.mark.parametrize("block", [2, (2, 4), (4, 2), (1, 4), (2, 1)])
 @pytest.mark.parametrize("k,cin,cout", [(3, 16, 16), (1, 16, 8), (3, 3, 16)])
-def test_packed_conv_matches_unpacked(rng, k, cin, cout):
+def test_packed_conv_matches_unpacked(rng, k, cin, cout, block):
     x = jnp.asarray(rng.standard_normal((2, 12, 16, cin)), jnp.float32)
     w = jnp.asarray(rng.standard_normal((k, k, cin, cout)) * 0.2, jnp.float32)
     ref = jax.lax.conv_general_dilated(
@@ -53,7 +70,8 @@ def test_packed_conv_matches_unpacked(rng, k, cin, cout):
         precision=jax.lax.Precision.HIGHEST,
     )
     got = depth_to_space(
-        packed_conv(space_to_depth(x, 2), w, 2, precision=jax.lax.Precision.HIGHEST), 2
+        packed_conv(space_to_depth(x, block), w, block,
+                    precision=jax.lax.Precision.HIGHEST), block
     )
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-5)
 
@@ -61,10 +79,12 @@ def test_packed_conv_matches_unpacked(rng, k, cin, cout):
 def test_pack_conv_kernel_shapes():
     w3 = jnp.zeros((3, 3, 16, 32))
     wp, pad = pack_conv_kernel(w3, 2)
-    assert wp.shape == (3, 3, 64, 128) and pad == 1
+    assert wp.shape == (3, 3, 64, 128) and pad == (1, 1)
     w1 = jnp.zeros((1, 1, 16, 8))
     wp1, pad1 = pack_conv_kernel(w1, 2)
-    assert wp1.shape == (1, 1, 64, 32) and pad1 == 0
+    assert wp1.shape == (1, 1, 64, 32) and pad1 == (0, 0)
+    wr, padr = pack_conv_kernel(w3, (2, 4))
+    assert wr.shape == (3, 3, 128, 256) and padr == (1, 1)
 
 
 def test_packed_concat_and_channel_helpers(rng):
@@ -161,6 +181,17 @@ def test_upsample2x_pack4_matches_resize(rng):
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-6)
 
 
+@pytest.mark.parametrize("block", [(2, 4), (4, 2), (2, 2), (4, 4)])
+def test_upsample2x_pack_rect_matches_resize(rng, block):
+    from tpudepth.ops.packed import upsample2x_pack
+
+    x = jnp.asarray(rng.random((2, 6, 10, 5)), jnp.float32)
+    ref = space_to_depth(
+        resize_bilinear(x, (12, 20), align_corners=False), block)
+    got = upsample2x_pack(x, block)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-6)
+
+
 @pytest.mark.parametrize("train", [False, True])
 def test_gub_packed4_matches_unpacked(rng, train):
     from tpudepth.models.guidedepth import GuidedUpsamplingBlock
@@ -184,9 +215,34 @@ def test_gub_packed4_matches_unpacked(rng, train):
         np.asarray(depth_to_space(got, 4)), np.asarray(ref), atol=3e-5)
 
 
+@pytest.mark.parametrize("blk", [(2, 4), (4, 2)])
+@pytest.mark.parametrize("train", [False, True])
+def test_gub_packed_rect_matches_unpacked(rng, train, blk):
+    """Rectangular folds; (4,2) is the production full-res stage's."""
+    from tpudepth.models.guidedepth import GuidedUpsamplingBlock
+
+    gub = GuidedUpsamplingBlock(16, 16, 8)
+    guide = jnp.asarray(rng.random((2, 16, 24, 3)), jnp.float32)
+    depth = jnp.asarray(rng.random((2, 16, 24, 16)), jnp.float32)
+    variables = gub.init(jax.random.PRNGKey(0), guide, depth, train=False)
+
+    kw = dict(mutable=["batch_stats"]) if train else {}
+    ref = gub.apply(variables, guide, depth, train=train, **kw)
+    got = gub.apply(variables, space_to_depth(guide, blk),
+                    space_to_depth(depth, blk), train=train, packed=blk, **kw)
+    if train:
+        ref, ref_stats = ref
+        got, got_stats = got
+        for a, b in zip(jax.tree_util.tree_leaves(ref_stats),
+                        jax.tree_util.tree_leaves(got_stats)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+    np.testing.assert_allclose(
+        np.asarray(depth_to_space(got, blk)), np.asarray(ref), atol=3e-5)
+
+
 @pytest.mark.parametrize("train", [False, True])
 def test_guidedepth_block4_matches_unpacked(rng, train):
-    """Default production config now runs the full-res stage at block=4
+    """Default production config runs the full-res stage at block=(4,4)
     (c256 @ H/4): must stay exact vs the unpacked model AND keep the param
     tree unchanged."""
     from tpudepth.models.guidedepth import GuideDepth

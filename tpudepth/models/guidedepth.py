@@ -35,16 +35,16 @@ class SELayer(nn.Module):
     dtype: Optional[Any] = None
 
     @nn.compact
-    def __call__(self, x, packed: int = 0, splits=None):
+    def __call__(self, x, packed=0, splits=None):
         """``splits``: the input is a PLAIN channel concat of packed tensors
         with these original channel counts (cheap-layout alternative to
         packed_concat — see ops/packed.py). The squeeze/excite then works per
         part; fc params are identical to the packed_concat form because the
         squeezed vector is in original-channel order either way."""
         if packed and splits:
-            from tpudepth.ops.packed import packed_channel_mean
+            from tpudepth.ops.packed import block_total, packed_channel_mean
 
-            b2 = packed * packed
+            b2 = block_total(packed)
             c = x.shape[-1] // b2
             offs = [0]
             for cj in splits:
@@ -53,9 +53,9 @@ class SELayer(nn.Module):
             y = jnp.concatenate(
                 [packed_channel_mean(p, packed) for p in parts], axis=-1)
         elif packed:
-            from tpudepth.ops.packed import packed_channel_mean
+            from tpudepth.ops.packed import block_total, packed_channel_mean
 
-            c = x.shape[-1] // (packed * packed)
+            c = x.shape[-1] // block_total(packed)
             y = packed_channel_mean(x, packed)
         else:
             c = x.shape[-1]
@@ -67,7 +67,9 @@ class SELayer(nn.Module):
                      param_dtype=jnp.float32, name="fc2")(y)
         y = jax.nn.sigmoid(y)
         if packed and splits:
-            b2 = packed * packed
+            from tpudepth.ops.packed import block_total
+
+            b2 = block_total(packed)
             offs = [0]
             for cj in splits:
                 offs.append(offs[-1] + cj)
@@ -75,7 +77,9 @@ class SELayer(nn.Module):
                 [jnp.tile(y[:, offs[j]:offs[j + 1]], (1, b2))
                  for j in range(len(splits))], axis=-1)
         elif packed:
-            y = jnp.tile(y, (1, packed * packed))
+            from tpudepth.ops.packed import block_total
+
+            y = jnp.tile(y, (1, block_total(packed)))
         return x * y[:, None, None, :]
 
 
@@ -157,11 +161,16 @@ class GuideDepth(nn.Module):
     # a stage packs at block=2 while 4*expand stays within this channel
     # budget (128 = one lane register)
     packed_max_channels: int = 128
-    # ... and at block=4 while 16*expand fits here (256 = two lane
+    # ... and at block=(4,4) while 16*expand fits here (256 = two lane
     # registers). The full-res c16 stage hits exactly 256: c256@H/4
     # eliminates the lane-padding waste AND the relayout copies the c64
-    # packed-2 form pays (PERF.md round 2/3). Block-4 conv fwd+bwd is
-    # evidenced exact on the real chip (scripts/repro_c256_pack_bug.py).
+    # packed-2 form pays (PERF.md round 2/3). NOTE the rectangular c128
+    # folds (2,4)/(4,2) run the isolated conv up to 2.2x faster (half the
+    # dense FLOPs, scripts/sweep_packshape.py) but measure SLOWER end to
+    # end (158.7-161.6 vs 169.4 train img/s; 520 vs 556 infer) — the
+    # config is bandwidth-bound and only the two-full-register c256 form
+    # dodges XLA's conv layout copies, so (4,4) stays the default
+    # (PERF.md round 3).
     packed_block4_max_channels: int = 256
 
     @nn.compact
@@ -169,8 +178,7 @@ class GuideDepth(nn.Module):
         from tpudepth.ops.packed import (
             depth_to_space,
             space_to_depth,
-            upsample2x_pack4,
-            upsample2x_packed,
+            upsample2x_pack,
         )
 
         up, inner = list(self.up_features), list(self.inner_features)
@@ -186,25 +194,20 @@ class GuideDepth(nn.Module):
         for i in range(3):
             guide = guides[i]
             gh, gw = guide.shape[1:3]
-            blk = 0
+            blk = None
             if self.packed:
                 if (16 * inner[i] <= self.packed_block4_max_channels
-                        and gh % 4 == 0 and gw % 4 == 0
-                        and y.shape[1] % 2 == 0 and y.shape[2] % 2 == 0):
-                    blk = 4
+                        and gh % 4 == 0 and gw % 4 == 0):
+                    blk = (4, 4)
                 elif (4 * inner[i] <= self.packed_max_channels
                       and gh % 2 == 0 and gw % 2 == 0):
-                    blk = 2
+                    blk = (2, 2)
             gub = GuidedUpsamplingBlock(up[i], inner[i], outs[i],
                                         dtype=self.dtype, name=f"up_{i + 1}")
-            if blk == 4:
-                y = upsample2x_pack4(y)  # packed-4 at guide resolution
-                y = gub(space_to_depth(guide, 4), y, train, packed=4)
-                y = depth_to_space(y, 4)
-            elif blk == 2:
-                y = upsample2x_packed(y)  # packed-2 at guide resolution
-                y = gub(space_to_depth(guide, 2), y, train, packed=2)
-                y = depth_to_space(y, 2)
+            if blk is not None:
+                y = upsample2x_pack(y, blk)  # packed at guide resolution
+                y = gub(space_to_depth(guide, blk), y, train, packed=blk)
+                y = depth_to_space(y, blk)
             else:
                 y = resize_bilinear(y, (y.shape[1] * 2, y.shape[2] * 2),
                                     align_corners=False)

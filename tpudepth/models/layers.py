@@ -70,7 +70,7 @@ class _PackedConvInner(nn.Module):
 
     features: int
     kernel_size: int
-    block: int
+    block: Union[int, Tuple[int, int]]
     use_bias: bool
     dtype: Optional[Dtype] = None
     #: When the input is a PLAIN concat of packed tensors with these original
@@ -82,10 +82,10 @@ class _PackedConvInner(nn.Module):
     @nn.compact
     def __call__(self, xp):
         from tpudepth.ops.packed import (
-            concat_input_perm, pack_conv_kernel, tile_channel,
+            block_total, concat_input_perm, pack_conv_kernel, tile_channel,
         )
 
-        b2 = self.block * self.block
+        b2 = block_total(self.block)
         cin = xp.shape[-1] // b2
         k = self.kernel_size
         kernel = self.param(
@@ -93,13 +93,14 @@ class _PackedConvInner(nn.Module):
             jnp.float32,
         )
         dt = self.dtype or xp.dtype
-        wp, pad = pack_conv_kernel(kernel, self.block)
+        wp, (pad_y, pad_x) = pack_conv_kernel(kernel, self.block)
         if self.input_splits is not None:
             q = concat_input_perm(tuple(self.input_splits), self.block)
             # out = sum_i packed[i] * wp[i] = sum_m plain[m] * wp[q^-1[m]]
             wp = wp[:, :, np.argsort(q), :]
         y = jax.lax.conv_general_dilated(
-            xp.astype(dt), wp.astype(dt), (1, 1), [(pad, pad), (pad, pad)],
+            xp.astype(dt), wp.astype(dt), (1, 1),
+            [(pad_y, pad_y), (pad_x, pad_x)],
             dimension_numbers=("NHWC", "HWIO", "NHWC"),
         )
         if self.use_bias:
@@ -113,8 +114,9 @@ class Conv(nn.Module):
     """2D conv wrapper: NHWC, torch-style symmetric padding.
 
     ``packed``: execute in space-to-depth layout (input/output are packed
-    tensors with ``packed**2`` x channels) — requires stride 1, groups 1 and
-    SAME-style padding. Parameters are identical to the unpacked form.
+    tensors with ``by*bx`` x channels; int or ``(by, bx)`` block spec) —
+    requires stride 1, groups 1 and SAME-style padding. Parameters are
+    identical to the unpacked form.
     """
 
     features: int
@@ -126,7 +128,7 @@ class Conv(nn.Module):
     dtype: Optional[Dtype] = None
 
     @nn.compact
-    def __call__(self, x, packed: int = 0, input_splits=None):
+    def __call__(self, x, packed=0, input_splits=None):
         if packed:
             assert self.stride == 1 and self.groups == 1
             assert self.padding == (self.kernel_size - 1) // 2
@@ -178,14 +180,16 @@ class _PackedBatchNormInner(nn.Module):
     ``block**2`` packed copies), exactly matching the unpacked stats; running
     stats/scale/bias keep their unpacked [C] shapes and names."""
 
-    block: int
+    block: Union[int, Tuple[int, int]]
     momentum: float  # flax-style: fraction of the running stat kept
     eps: float
     dtype: Optional[Dtype] = None
 
     @nn.compact
     def __call__(self, xp, train: bool):
-        b2 = self.block * self.block
+        from tpudepth.ops.packed import block_total
+
+        b2 = block_total(self.block)
         c = xp.shape[-1] // b2
         ra_mean = self.variable(
             "batch_stats", "mean", lambda s: jnp.zeros(s, jnp.float32), (c,))
@@ -238,7 +242,7 @@ class BatchNorm(nn.Module):
     dtype: Optional[Dtype] = None
 
     @nn.compact
-    def __call__(self, x, train: bool, packed: int = 0):
+    def __call__(self, x, train: bool, packed=0):
         if packed:
             return _PackedBatchNormInner(
                 packed, 1.0 - self.torch_momentum, self.eps, dtype=self.dtype,
