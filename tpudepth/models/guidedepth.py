@@ -9,6 +9,7 @@ conditioned on the RGB pyramid (nearest-downsampled halves —
 
 from __future__ import annotations
 
+import os
 from typing import Any, Optional, Sequence
 
 import flax.linen as nn
@@ -23,6 +24,56 @@ _BN_MOM = 0.1
 _BN_EPS = 1e-5
 
 
+def gub_fused_enabled() -> bool:
+    """Trace-time dispatch for the fused Pallas GUB stage kernels
+    (ops/pallas/gub_conv.py) — EXPERIMENTAL, default OFF.
+
+    Measured on the real v5e (PERF.md round 3): the all-Pallas stage runs
+    the full-res train step at 137.8 img/s and the k1-via-jnp hybrid at
+    144.8, vs 169.4 for XLA's own conv pipeline — XLA's conv fusions at
+    these shapes are already near the HBM roofline, and the custom-call
+    boundary + kernel pipeline overheads cost more than the ~18 ms/step of
+    relayout copies they remove. The hybrid additionally trips a
+    program-shape-sensitive gradient NaN on TPU (fine when the grads gain
+    extra consumers; scripts/debug_bench_nan.py vs bench.py). Set
+    ``TPUDEPTH_GUB=fused`` to engage anyway."""
+    return os.environ.get("TPUDEPTH_GUB") == "fused"
+
+
+def _packed_prelude(pre, block, bsz):
+    """Tile a per-original-channel BN affine (A, C) to per-(batch, packed
+    channel) arrays for the fused kernel."""
+    from tpudepth.ops.packed import block_total, tile_channel
+
+    a, c = pre
+    n = block_total(block) * a.shape[0]
+    return (jnp.broadcast_to(tile_channel(a, block)[None], (bsz, n)),
+            jnp.broadcast_to(tile_channel(c, block)[None], (bsz, n)))
+
+
+def _se_prelude(pre, exc, block):
+    """Fold a (positive) SE excitation [B, C_orig] into the BN affine:
+    relu(x*A + C) * se == relu(x*(A*se) + C*se) because se > 0
+    (sigmoid output; SELayer applies the scale after the relu)."""
+    from tpudepth.ops.packed import block_total, tile_channel
+
+    a, c = pre
+    e = jnp.tile(exc.astype(jnp.float32), (1, block_total(block)))
+    return (tile_channel(a, block)[None] * e,
+            tile_channel(c, block)[None] * e)
+
+
+def _norm_mean(y, pre, block, dt):
+    """Per-original-channel spatial mean of ``relu(y*A + C)`` (the SE
+    squeeze input) computed without materializing the normalized tensor."""
+    from tpudepth.ops.packed import packed_channel_mean, tile_channel
+
+    a, c = pre
+    z = (y.astype(jnp.float32) * tile_channel(a, block)
+         + tile_channel(c, block))
+    return packed_channel_mean(jnp.maximum(z, 0.0).astype(dt), block)
+
+
 class SELayer(nn.Module):
     """Channel SE with spatial mean squeeze (TensorRT-friendly variant,
     ``modules.py:5-25``); bias-free linears, reduction=1 in GUB.
@@ -35,13 +86,21 @@ class SELayer(nn.Module):
     dtype: Optional[Any] = None
 
     @nn.compact
-    def __call__(self, x, packed=0, splits=None):
+    def __call__(self, x, packed=0, splits=None, squeezed=None):
         """``splits``: the input is a PLAIN channel concat of packed tensors
         with these original channel counts (cheap-layout alternative to
         packed_concat — see ops/packed.py). The squeeze/excite then works per
         part; fc params are identical to the packed_concat form because the
-        squeezed vector is in original-channel order either way."""
-        if packed and splits:
+        squeezed vector is in original-channel order either way.
+
+        ``squeezed``: fused-kernel path — the caller provides the squeeze
+        means [B, C_orig] directly and gets back the raw excitation
+        [B, C_orig] (to be folded into the next conv's prelude) instead of
+        the scaled tensor."""
+        if squeezed is not None:
+            c = squeezed.shape[-1]
+            y = squeezed
+        elif packed and splits:
             from tpudepth.ops.packed import block_total, packed_channel_mean
 
             b2 = block_total(packed)
@@ -66,6 +125,8 @@ class SELayer(nn.Module):
         y = nn.Dense(c, use_bias=False, dtype=self.dtype,
                      param_dtype=jnp.float32, name="fc2")(y)
         y = jax.nn.sigmoid(y)
+        if squeezed is not None:
+            return y
         if packed and splits:
             from tpudepth.ops.packed import block_total
 
@@ -89,7 +150,37 @@ class _ConvBNRelu(nn.Module):
     dtype: Optional[Any] = None
 
     @nn.compact
-    def __call__(self, x, train: bool, packed: int = 0, input_splits=None):
+    def __call__(self, x, train: bool, packed: int = 0, input_splits=None,
+                 fused_preludes=None):
+        """Fused path (``x`` is a TUPLE of packed parts): the conv runs as
+        the Pallas kernel with the previous layer's BN affine applied on the
+        fly and this layer's batch statistics accumulated in-pass; returns
+        ``(raw_conv_out, (A, C))`` — the normalized/activated tensor never
+        exists. Plain path returns ``relu(bn(conv(x)))`` as before."""
+        if isinstance(x, (tuple, list)):
+            from tpudepth.ops.packed import block_total
+
+            conv = Conv(self.features, self.kernel,
+                        padding=(self.kernel - 1) // 2, use_bias=True,
+                        dtype=self.dtype, name="conv")
+            bn = BatchNorm(_BN_MOM, _BN_EPS, dtype=self.dtype, name="bn")
+            if train and self.kernel != 1:
+                y, s, q = conv(tuple(x), packed=packed,
+                               input_splits=input_splits,
+                               fused_preludes=fused_preludes,
+                               fused_stats=True)
+                b2 = block_total(packed)
+                n = y.shape[0] * y.shape[1] * y.shape[2] * b2
+                stats_in = (s, q, float(n))
+            else:
+                # k=1 runs as a jnp dot (layers.py _k1_fused); its BN
+                # reduces from y directly (XLA fuses the reduction)
+                y = conv(tuple(x), packed=packed, input_splits=input_splits,
+                         fused_preludes=fused_preludes, fused_stats=False)
+                stats_in = None
+            vec = bn(y, train, packed=packed, stats_in=stats_in,
+                     as_vectors=True)
+            return y, vec
         x = Conv(self.features, self.kernel, padding=(self.kernel - 1) // 2,
                  use_bias=True, dtype=self.dtype, name="conv")(
             x, packed=packed, input_splits=input_splits)
@@ -116,9 +207,14 @@ class GuidedUpsamplingBlock(nn.Module):
     kernel_size: int = 3
     channel_attention: bool = True
     dtype: Optional[Any] = None
+    #: execute the packed stage through the fused Pallas conv kernels
+    #: (ops/pallas/gub_conv.py) — TPU fast path, mathematically the same
+    fused: bool = False
 
     @nn.compact
     def __call__(self, guide, depth, train: bool = False, packed: int = 0):
+        if packed and self.fused:
+            return self._fused(guide, depth, train, packed)
         ef = self.expand_features
         x = _ConvBNRelu(ef, self.kernel_size, dtype=self.dtype, name="feature_conv_a")(depth, train, packed)
         x = _ConvBNRelu(ef // 2, 1, dtype=self.dtype, name="feature_conv_b")(x, train, packed)
@@ -142,6 +238,58 @@ class GuidedUpsamplingBlock(nn.Module):
 
         return Conv(self.out_features, 1, padding=0, use_bias=True, dtype=self.dtype,
                     name="reduce")(r + depth, packed=packed)
+
+    def _fused(self, guide, depth, train: bool, packed):
+        """Fused-kernel execution: every conv is a Pallas custom call that
+        applies the previous BN+relu (and SE scale / residual) on the fly and
+        emits its own BN statistics — no normalized activation and no conv
+        emitter (and hence none of XLA:TPU's conv layout copies) in the whole
+        stage. Parameter tree identical to the plain path."""
+        ef = self.expand_features
+        bsz = depth.shape[0]
+        dt = self.dtype or depth.dtype
+
+        y1, p1 = _ConvBNRelu(ef, self.kernel_size, dtype=self.dtype,
+                             name="feature_conv_a")((depth,), train, packed)
+        y2, p2 = _ConvBNRelu(ef // 2, 1, dtype=self.dtype,
+                             name="feature_conv_b")(
+            (y1,), train, packed,
+            fused_preludes=(_packed_prelude(p1, packed, bsz),))
+
+        g1, q1 = _ConvBNRelu(ef, self.kernel_size, dtype=self.dtype,
+                             name="guide_conv_a")((guide,), train, packed)
+        g2, q2 = _ConvBNRelu(ef // 2, 1, dtype=self.dtype,
+                             name="guide_conv_b")(
+            (g1,), train, packed,
+            fused_preludes=(_packed_prelude(q1, packed, bsz),))
+
+        splits = (ef // 2, ef // 2)
+        if self.channel_attention:
+            mx = _norm_mean(y2, p2, packed, dt)
+            mg = _norm_mean(g2, q2, packed, dt)
+            exc = SELayer(reduction=1, dtype=self.dtype, name="SE_block")(
+                None, packed=packed, splits=splits,
+                squeezed=jnp.concatenate([mx, mg], axis=-1))
+            pre_x = _se_prelude(p2, exc[:, :ef // 2], packed)
+            pre_g = _se_prelude(q2, exc[:, ef // 2:], packed)
+        else:
+            pre_x = _packed_prelude(p2, packed, bsz)
+            pre_g = _packed_prelude(q2, packed, bsz)
+
+        y5, p5 = _ConvBNRelu(ef, self.kernel_size, dtype=self.dtype,
+                             name="comb_conv_a")(
+            (y2, g2), train, packed, input_splits=splits,
+            fused_preludes=(pre_x, pre_g))
+        y6, p6 = _ConvBNRelu(self.in_features, 1, dtype=self.dtype,
+                             name="comb_conv_b")(
+            (y5,), train, packed,
+            fused_preludes=(_packed_prelude(p5, packed, bsz),))
+
+        return Conv(self.out_features, 1, padding=0, use_bias=True,
+                    dtype=self.dtype, name="reduce")(
+            (y6,), packed=packed,
+            fused_preludes=(_packed_prelude(p6, packed, bsz),),
+            fused_skip=depth)
 
 
 class GuideDepth(nn.Module):
@@ -172,6 +320,10 @@ class GuideDepth(nn.Module):
     # dodges XLA's conv layout copies, so (4,4) stays the default
     # (PERF.md round 3).
     packed_block4_max_channels: int = 256
+    #: allow packed stages to run through the fused Pallas conv kernels
+    #: when TPUDEPTH_GUB=fused (experimental; measured slower than XLA's
+    #: conv pipeline — see gub_fused_enabled)
+    fused_stage_kernels: bool = True
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -180,6 +332,8 @@ class GuideDepth(nn.Module):
             space_to_depth,
             upsample2x_pack,
         )
+
+        use_fused = self.fused_stage_kernels and gub_fused_enabled()
 
         up, inner = list(self.up_features), list(self.inner_features)
         y = DualResNetBackbone(features=up[0], dtype=self.dtype,
@@ -203,7 +357,8 @@ class GuideDepth(nn.Module):
                       and gh % 2 == 0 and gw % 2 == 0):
                     blk = (2, 2)
             gub = GuidedUpsamplingBlock(up[i], inner[i], outs[i],
-                                        dtype=self.dtype, name=f"up_{i + 1}")
+                                        dtype=self.dtype, fused=use_fused,
+                                        name=f"up_{i + 1}")
             if blk is not None:
                 y = upsample2x_pack(y, blk)  # packed at guide resolution
                 y = gub(space_to_depth(guide, blk), y, train, packed=blk)

@@ -80,34 +80,96 @@ class _PackedConvInner(nn.Module):
     input_splits: Optional[Tuple[int, ...]] = None
 
     @nn.compact
-    def __call__(self, xp):
+    def __call__(self, xp, fused_preludes=None, fused_skip=None,
+                 fused_stats=False):
+        """``xp``: a packed tensor, or (fused path) a TUPLE of packed tensors
+        treated as a channel concat. When ``xp`` is a tuple the conv executes
+        as the fused Pallas kernel (ops/pallas/gub_conv.py) with the optional
+        BN-apply+relu ``fused_preludes`` (per-part (A, C) arrays, per packed
+        channel), residual ``fused_skip`` and BN-statistics emission."""
         from tpudepth.ops.packed import (
             block_total, concat_input_perm, pack_conv_kernel, tile_channel,
         )
 
+        fused = isinstance(xp, (tuple, list))
         b2 = block_total(self.block)
-        cin = xp.shape[-1] // b2
+        cin_total = (sum(p.shape[-1] for p in xp) if fused else xp.shape[-1])
+        cin = cin_total // b2
         k = self.kernel_size
         kernel = self.param(
             "kernel", nn.initializers.lecun_normal(), (k, k, cin, self.features),
             jnp.float32,
         )
-        dt = self.dtype or xp.dtype
+        dt = self.dtype or (xp[0].dtype if fused else xp.dtype)
         wp, (pad_y, pad_x) = pack_conv_kernel(kernel, self.block)
         if self.input_splits is not None:
             q = concat_input_perm(tuple(self.input_splits), self.block)
             # out = sum_i packed[i] * wp[i] = sum_m plain[m] * wp[q^-1[m]]
             wp = wp[:, :, np.argsort(q), :]
+        if self.use_bias:
+            bias = self.param("bias", nn.initializers.zeros, (self.features,),
+                              jnp.float32)
+        if fused and k == 1:
+            # XLA's dot pipeline handles the bandwidth-bound 1x1 convs
+            # better than a Pallas kernel (PERF.md round 3: the all-Pallas
+            # stage ran k1 dx at 8-15% of roofline) — run them as a jnp
+            # dot on the dense packed kernel (full-lane contraction) with
+            # the prelude in jnp; layouts stay standard, so the k=3 Pallas
+            # custom calls around them see no relayout copies.
+            bp = (tile_channel(bias, self.block) if self.use_bias else None)
+            return self._k1_fused(xp, wp[0, 0], bp, dt, fused_preludes,
+                                  fused_skip)
+        if fused:
+            from tpudepth.ops.pallas.gub_conv import conv_bn_act
+
+            # the fused kernel zero-pads by kp//2, which is exactly the
+            # packed padding for symmetric packed kernels (ops/packed.py)
+            assert (pad_y, pad_x) == (wp.shape[0] // 2, wp.shape[1] // 2)
+            bp = (tile_channel(bias, self.block) if self.use_bias
+                  else jnp.zeros((b2 * self.features,), jnp.float32))
+            return conv_bn_act(
+                tuple(p.astype(dt) for p in xp), wp, bp,
+                preludes=fused_preludes, skip=fused_skip, stats=fused_stats)
         y = jax.lax.conv_general_dilated(
             xp.astype(dt), wp.astype(dt), (1, 1),
             [(pad_y, pad_y), (pad_x, pad_x)],
             dimension_numbers=("NHWC", "HWIO", "NHWC"),
         )
         if self.use_bias:
-            bias = self.param("bias", nn.initializers.zeros, (self.features,),
-                              jnp.float32)
             y = y + tile_channel(bias, self.block).astype(dt)
         return y
+
+    def _k1_fused(self, xp, w, bp, dt, preludes, skip):
+        """Fused-stage execution of a packed 1x1 conv as a jnp dot:
+        ``y = sum_j relu(x_j*A_j + C_j) [+skip] @ Wp[off_j:] + b`` with the
+        dense packed kernel ``w`` [b2*cin, b2*cout] (full-lane contraction
+        — a per-subpixel dot with the original kernel would contract over
+        16-64 channels and starve the MXU; measured 118 vs 138 img/s).
+        ``w`` already carries the input_splits permutation, so each part
+        dots against its packed-channel slice."""
+        acc = None
+        off = 0
+        for j, p in enumerate(xp):
+            cj = p.shape[-1]
+            if preludes is not None:
+                a, c = preludes[j]
+                z = jnp.maximum(
+                    p.astype(jnp.float32) * a[:, None, None, :]
+                    + c[:, None, None, :], 0.0)
+                if j == 0 and skip is not None:
+                    z = z + skip.astype(jnp.float32)
+                z = z.astype(dt)
+            else:
+                z = p.astype(dt)
+            t = jax.lax.dot_general(
+                z, w[off:off + cj].astype(dt),
+                dimension_numbers=(((3,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            acc = t if acc is None else acc + t
+            off += cj
+        if bp is not None:
+            acc = acc + bp
+        return acc.astype(dt)
 
 
 class Conv(nn.Module):
@@ -128,7 +190,8 @@ class Conv(nn.Module):
     dtype: Optional[Dtype] = None
 
     @nn.compact
-    def __call__(self, x, packed=0, input_splits=None):
+    def __call__(self, x, packed=0, input_splits=None, fused_preludes=None,
+                 fused_skip=None, fused_stats=False):
         if packed:
             assert self.stride == 1 and self.groups == 1
             assert self.padding == (self.kernel_size - 1) // 2
@@ -137,7 +200,9 @@ class Conv(nn.Module):
                 dtype=self.dtype,
                 input_splits=tuple(input_splits) if input_splits else None,
                 name="Conv_0",
-            )(x)
+            )(x, fused_preludes=fused_preludes, fused_skip=fused_skip,
+              fused_stats=fused_stats)
+        assert fused_preludes is None and fused_skip is None
         pad = self.padding
         if isinstance(pad, int):
             pad = [(pad, pad), (pad, pad)]
@@ -186,7 +251,13 @@ class _PackedBatchNormInner(nn.Module):
     dtype: Optional[Dtype] = None
 
     @nn.compact
-    def __call__(self, xp, train: bool):
+    def __call__(self, xp, train: bool, stats_in=None, as_vectors=False):
+        """``stats_in``: (sum, sum_sq, count) per PACKED channel from a fused
+        conv kernel — used instead of reducing ``xp`` (which then is only
+        consulted for its channel count). ``as_vectors``: return the f32
+        per-original-channel affine ``(A, C)`` with
+        ``normalize(x) == x * A + C`` instead of the normalized tensor (the
+        next fused kernel applies it on the fly)."""
         from tpudepth.ops.packed import block_total
 
         b2 = block_total(self.block)
@@ -199,16 +270,25 @@ class _PackedBatchNormInner(nn.Module):
         bias = self.param("bias", nn.initializers.zeros, (c,), jnp.float32)
 
         if train:
-            xf = xp.astype(jnp.float32)
-            xg = xf.reshape(*xf.shape[:-1], b2, c)
-            mean = jnp.mean(xg, axis=(0, 1, 2, 3))
-            mean2 = jnp.mean(xg * xg, axis=(0, 1, 2, 3))
+            if stats_in is not None:
+                s, q, n = stats_in
+                mean = jnp.sum(s.reshape(b2, c), axis=0) / n
+                mean2 = jnp.sum(q.reshape(b2, c), axis=0) / n
+            else:
+                xf = xp.astype(jnp.float32)
+                xg = xf.reshape(*xf.shape[:-1], b2, c)
+                mean = jnp.mean(xg, axis=(0, 1, 2, 3))
+                mean2 = jnp.mean(xg * xg, axis=(0, 1, 2, 3))
             var = jnp.maximum(mean2 - mean * mean, 0.0)
             if not self.is_initializing():
                 ra_mean.value = self.momentum * ra_mean.value + (1 - self.momentum) * mean
                 ra_var.value = self.momentum * ra_var.value + (1 - self.momentum) * var
         else:
             mean, var = ra_mean.value, ra_var.value
+
+        if as_vectors:
+            a = jax.lax.rsqrt(var + self.eps) * scale
+            return a, bias - mean * a
 
         from tpudepth.ops.packed import tile_channel
 
@@ -242,12 +322,14 @@ class BatchNorm(nn.Module):
     dtype: Optional[Dtype] = None
 
     @nn.compact
-    def __call__(self, x, train: bool, packed=0):
+    def __call__(self, x, train: bool, packed=0, stats_in=None,
+                 as_vectors=False):
         if packed:
             return _PackedBatchNormInner(
                 packed, 1.0 - self.torch_momentum, self.eps, dtype=self.dtype,
                 name="BatchNorm_0",
-            )(x, train)
+            )(x, train, stats_in=stats_in, as_vectors=as_vectors)
+        assert stats_in is None and not as_vectors
         return nn.BatchNorm(
             use_running_average=not train,
             momentum=1.0 - self.torch_momentum,
