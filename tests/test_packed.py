@@ -59,10 +59,11 @@ def test_space_to_depth_layout(rng):
                 )
 
 
-@pytest.mark.parametrize("block", [2, (2, 4), (4, 2), (1, 4), (2, 1)])
+@pytest.mark.parametrize("block", [2, (2, 4), (4, 2), (1, 4), (2, 1),
+                                   (8, 8), (4, 8)])
 @pytest.mark.parametrize("k,cin,cout", [(3, 16, 16), (1, 16, 8), (3, 3, 16)])
 def test_packed_conv_matches_unpacked(rng, k, cin, cout, block):
-    x = jnp.asarray(rng.standard_normal((2, 12, 16, cin)), jnp.float32)
+    x = jnp.asarray(rng.standard_normal((2, 16, 16, cin)), jnp.float32)
     w = jnp.asarray(rng.standard_normal((k, k, cin, cout)) * 0.2, jnp.float32)
     ref = jax.lax.conv_general_dilated(
         x, w, (1, 1), [(k // 2, k // 2)] * 2,
@@ -181,13 +182,14 @@ def test_upsample2x_pack4_matches_resize(rng):
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-6)
 
 
-@pytest.mark.parametrize("block", [(2, 4), (4, 2), (2, 2), (4, 4)])
+@pytest.mark.parametrize("block", [(2, 4), (4, 2), (2, 2), (4, 4),
+                                   (8, 8), (4, 8), (8, 4), (2, 8)])
 def test_upsample2x_pack_rect_matches_resize(rng, block):
     from tpudepth.ops.packed import upsample2x_pack
 
-    x = jnp.asarray(rng.random((2, 6, 10, 5)), jnp.float32)
+    x = jnp.asarray(rng.random((2, 8, 12, 5)), jnp.float32)
     ref = space_to_depth(
-        resize_bilinear(x, (12, 20), align_corners=False), block)
+        resize_bilinear(x, (16, 24), align_corners=False), block)
     got = upsample2x_pack(x, block)
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-6)
 
@@ -265,3 +267,20 @@ def test_guidedepth_block4_matches_unpacked(rng, train):
                         jax.tree_util.tree_leaves(got_stats)):
             np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4)
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-4)
+
+
+@pytest.mark.parametrize("blocks", [((2, 4), (4, 8), (8, 8)),
+                                    ((4, 2), (8, 4), (8, 8))])
+def test_guidedepth_s_packed_blocks_override_matches_unpacked(rng, blocks):
+    """GuideDepth-S with explicit per-stage pack blocks (the c256-reaching
+    folds for its thin stages, PERF.md round 4) must equal the unpacked
+    model exactly — same params, same math."""
+    from tpudepth.models import build_model
+
+    x = jnp.asarray(rng.random((2, 96, 128, 3)), jnp.float32)
+    ref = build_model("GuideDepth-S", dtype=jnp.float32, packed=False)
+    v = ref.init(jax.random.PRNGKey(0), x, train=False)
+    y_ref = ref.apply(v, x, train=False)
+    m = build_model("GuideDepth-S", dtype=jnp.float32, packed_blocks=blocks)
+    y = m.apply(v, x, train=False)
+    np.testing.assert_allclose(np.asarray(y), np.asarray(y_ref), atol=2e-5)

@@ -100,7 +100,15 @@ class TrainConfig:
     num_data_shards: int = 0  # 0 => use all local devices on the 'data' axis
     log_every: int = 5
     image_log_every: int = 300
-    remat: bool = False  # jax.checkpoint the forward to trade FLOPs for HBM
+    remat: bool = False  # jax.checkpoint the WHOLE forward (memory lever)
+    # per-GUB-stage rematerialization (GuideDepth family): save only stage
+    # boundaries for the backward, recompute conv/BN/ReLU activations —
+    # trades cheap FLOPs for stored-activation bytes (PERF.md round 4)
+    remat_stages: bool = False
+    # opt-in grad-poison tripwire: fold global grad-norm finiteness into the
+    # reported loss (XLA:TPU fusion bugs can corrupt gradients while the
+    # loss stays finite — docs/xla_tpu_grad_nan_bug.md)
+    check_grads: bool = False
 
     @property
     def max_depth(self) -> float:

@@ -35,7 +35,8 @@ def gub_fused_enabled() -> bool:
     boundary + kernel pipeline overheads cost more than the ~18 ms/step of
     relayout copies they remove. The hybrid additionally trips a
     program-shape-sensitive gradient NaN on TPU (fine when the grads gain
-    extra consumers; scripts/debug_bench_nan.py vs bench.py). Set
+    extra consumers; minimal repro scripts/repro_grad_nan_fusion.py,
+    writeup docs/xla_tpu_grad_nan_bug.md). Set
     ``TPUDEPTH_GUB=fused`` to engage anyway."""
     return os.environ.get("TPUDEPTH_GUB") == "fused"
 
@@ -314,16 +315,32 @@ class GuideDepth(nn.Module):
     # eliminates the lane-padding waste AND the relayout copies the c64
     # packed-2 form pays (PERF.md round 2/3). NOTE the rectangular c128
     # folds (2,4)/(4,2) run the isolated conv up to 2.2x faster (half the
-    # dense FLOPs, scripts/sweep_packshape.py) but measure SLOWER end to
+    # dense FLOPs; PERF.md round-3 rect-fold sweep) but measure SLOWER end to
     # end (158.7-161.6 vs 169.4 train img/s; 520 vs 556 infer) — the
     # config is bandwidth-bound and only the two-full-register c256 form
     # dodges XLA's conv layout copies, so (4,4) stays the default
     # (PERF.md round 3).
     packed_block4_max_channels: int = 256
+    #: explicit per-stage pack blocks, e.g. ((2,4), (4,8), (8,8)) — overrides
+    #: the threshold rules above per stage (None entry = keep the rule).
+    #: Motivation (round 4): GuideDepth-S's thin stages (inner 32/8/4,
+    #: loader.py:19) fold to c128/c128/c64 under the default rules — exactly
+    #: the one-register forms that re-pay XLA's conv layout copies; larger
+    #: folds reach the copy-free two-register c256 at every stage.
+    packed_blocks: Optional[Sequence[Optional[Sequence[int]]]] = None
     #: allow packed stages to run through the fused Pallas conv kernels
     #: when TPUDEPTH_GUB=fused (experimental; measured slower than XLA's
     #: conv pipeline — see gub_fused_enabled)
     fused_stage_kernels: bool = True
+    #: rematerialize each GUB stage in the backward pass (jax.checkpoint per
+    #: stage): only the stage-boundary tensors are saved for the backward;
+    #: every conv/BN/ReLU activation inside a stage is recomputed. This
+    #: trades ~2x the (cheap, 8%-of-peak) stage FLOPs for not carrying the
+    #: stage activations from forward to backward — a bytes lever on the
+    #: HBM-roofline-bound full-res train step and a memory lever for larger
+    #: batches (bs32 @480x640 OOMs without it). Measured ablation: PERF.md
+    #: round 4.
+    remat_stages: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -345,26 +362,37 @@ class GuideDepth(nn.Module):
 
         guides = (x_quarter, x_half, x)
         outs = (up[1], up[2], 1)
+        gub_cls = GuidedUpsamplingBlock
+        if self.remat_stages:
+            # static argnums count self: (guide, depth, train, packed) ->
+            # train=3, packed=4 (a hashable block tuple / 0)
+            gub_cls = nn.remat(GuidedUpsamplingBlock, static_argnums=(3, 4))
         for i in range(3):
             guide = guides[i]
             gh, gw = guide.shape[1:3]
             blk = None
             if self.packed:
-                if (16 * inner[i] <= self.packed_block4_max_channels
+                override = (self.packed_blocks[i]
+                            if self.packed_blocks is not None else None)
+                if override is not None:
+                    by, bx = override
+                    if gh % by == 0 and gw % bx == 0:
+                        blk = (by, bx)
+                elif (16 * inner[i] <= self.packed_block4_max_channels
                         and gh % 4 == 0 and gw % 4 == 0):
                     blk = (4, 4)
                 elif (4 * inner[i] <= self.packed_max_channels
                       and gh % 2 == 0 and gw % 2 == 0):
                     blk = (2, 2)
-            gub = GuidedUpsamplingBlock(up[i], inner[i], outs[i],
-                                        dtype=self.dtype, fused=use_fused,
-                                        name=f"up_{i + 1}")
+            gub = gub_cls(up[i], inner[i], outs[i],
+                          dtype=self.dtype, fused=use_fused,
+                          name=f"up_{i + 1}")
             if blk is not None:
                 y = upsample2x_pack(y, blk)  # packed at guide resolution
-                y = gub(space_to_depth(guide, blk), y, train, packed=blk)
+                y = gub(space_to_depth(guide, blk), y, train, blk)
                 y = depth_to_space(y, blk)
             else:
                 y = resize_bilinear(y, (y.shape[1] * 2, y.shape[2] * 2),
                                     align_corners=False)
-                y = gub(guide, y, train)
+                y = gub(guide, y, train, 0)
         return y

@@ -18,12 +18,17 @@ from tpudepth.models.decoders import (
 from tpudepth.models.guidedepth import GuideDepth
 
 
-def build_model(name: str, dtype: Optional[Any] = None, use_pallas: Optional[bool] = None) -> nn.Module:
+def build_model(name: str, dtype: Optional[Any] = None,
+                use_pallas: Optional[bool] = None, **kwargs) -> nn.Module:
+    """``kwargs`` forward to the model class (GuideDepth family only), e.g.
+    ``remat_stages=True`` for per-GUB-stage rematerialization or explicit
+    ``packed_*`` thresholds."""
     name_l = name.lower()
     if name == "GuideDepth" or name_l == "guidedepth":
-        return GuideDepth(dtype=dtype)
+        return GuideDepth(dtype=dtype, **kwargs)
     if name == "GuideDepth-S" or name_l in ("guidedepth-s", "guidedepth_s"):
-        return GuideDepth(up_features=(32, 8, 4), inner_features=(32, 8, 4), dtype=dtype)
+        return GuideDepth(up_features=(32, 8, 4), inner_features=(32, 8, 4),
+                          dtype=dtype, **kwargs)
     if name_l in ("sam", "mobilev3_sam", "mobilev3_large_sam"):
         return MobileV3SAMDepth(dtype=dtype, use_pallas=use_pallas)
     if name_l in ("newcrf", "newcrfs", "mobilev3_newcrf", "mobilev3_large_newcrfs"):

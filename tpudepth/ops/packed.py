@@ -201,52 +201,54 @@ def _shift(arr, axis, direction):
         axis=axis)
 
 
-def _pair_taps(g0, g1, t, axis):
-    """Fine line 4P+t of 2x upsampling along ``axis`` from the parity groups
-    (g0 = even source lines, g1 = odd): two-tap lerp. The cross-coarse
-    neighbors (t 0 and 3) clamp on the ORIGINAL grid, so the clamped edge
-    entry comes from the OTHER parity group (y[-1] -> y[0] = g0's first,
-    y[n] -> y[n-1] = g1's last)."""
-    if t == 0:   # prev fine line = y[2P-1]: g1[P-1], edge -> g0[0]
-        n = g1.shape[axis]
-        prev = jnp.concatenate(
-            [_take(g0, axis, slice(0, 1)), _take(g1, axis, slice(0, n - 1))],
-            axis=axis)
-        return 0.25 * prev + 0.75 * g0
-    if t == 1:   # cur = g0, next = g1 (same coarse line)
-        return 0.75 * g0 + 0.25 * g1
-    if t == 2:   # cur = g1, prev = g0 (same coarse line)
-        return 0.25 * g0 + 0.75 * g1
-    # t == 3: next fine line = y[2P+2]: g0[P+1], edge -> g1[n-1]
-    n = g0.shape[axis]
-    nxt = jnp.concatenate(
-        [_take(g0, axis, slice(1, n)), _take(g1, axis, slice(n - 1, n))],
-        axis=axis)
-    return 0.75 * g1 + 0.25 * nxt
-
-
 def _axis_up_taps(x, axis, b):
     """The ``b`` per-sub-position lines of exact-2x bilinear upsampling along
     ``axis`` folded by block ``b`` (each covers b/2 source lines). Taps match
     :func:`tpudepth.ops.image._upsample2x_axis` exactly (align_corners=False,
-    edge-clamped): even = 0.25*prev + 0.75*x ; odd = 0.75*x + 0.25*next."""
+    edge-clamped): even = 0.25*prev + 0.75*x ; odd = 0.75*x + 0.25*next.
+
+    Generic over even ``b``: fine line f = Q*b + t reads source line
+    m = Q*(b/2) + t//2, so the sources split into g = b/2 interleaved groups
+    (split via reshape, NOT stride-2 slice_in_dim: strided slices cost 3.3x
+    here — 2.99 vs 0.91 ms fwd at [16,240,320,16] bf16,
+    scripts/bench_up_pack.py). The cross-group neighbors at t=0 / t=b-1
+    clamp on the ORIGINAL grid, so the clamped edge entry comes from the
+    first/last group (y[-1] -> y[0] = group 0's first, y[n] -> y[n-1] =
+    last group's last)."""
     if b == 1:
         raise ValueError("upsample2x output folded by 1 is not packed")
     if b == 2:
         return [0.25 * _shift(x, axis, -1) + 0.75 * x,
                 0.75 * x + 0.25 * _shift(x, axis, +1)]
-    assert b == 4, b
+    assert b % 2 == 0, b
+    g = b // 2
     n = x.shape[axis]
-    assert n % 2 == 0, (axis, n)
-    # parity split via reshape (NOT stride-2 slice_in_dim: strided slices
-    # cost 3.3x here — 2.99 vs 0.91 ms fwd at [16,240,320,16] bf16,
-    # scripts/bench_up_pack.py)
+    assert n % g == 0, (axis, n, b)
     shp = list(x.shape)
-    shp[axis:axis + 1] = [n // 2, 2]
+    shp[axis:axis + 1] = [n // g, g]
     xg = x.reshape(shp)
-    g0 = _take(xg, axis + 1, 0)
-    g1 = _take(xg, axis + 1, 1)
-    return [_pair_taps(g0, g1, t, axis) for t in range(4)]
+    groups = [_take(xg, axis + 1, j) for j in range(g)]
+    m = groups[0].shape[axis]
+    outs = []
+    for t in range(b):
+        j = t // 2
+        if t % 2 == 0:  # 0.25 * y[m-1] + 0.75 * y[m]
+            if j > 0:
+                prev = groups[j - 1]
+            else:  # y[Q*g - 1] = last group's Q-1 row; clamp -> y[0]
+                prev = jnp.concatenate(
+                    [_take(groups[0], axis, slice(0, 1)),
+                     _take(groups[g - 1], axis, slice(0, m - 1))], axis=axis)
+            outs.append(0.25 * prev + 0.75 * groups[j])
+        else:  # 0.75 * y[m] + 0.25 * y[m+1]
+            if j < g - 1:
+                nxt = groups[j + 1]
+            else:  # y[Q*g + g] = group 0's Q+1 row; clamp -> y[n-1]
+                nxt = jnp.concatenate(
+                    [_take(groups[0], axis, slice(1, m)),
+                     _take(groups[g - 1], axis, slice(m - 1, m))], axis=axis)
+            outs.append(0.75 * groups[j] + 0.25 * nxt)
+    return outs
 
 
 def upsample2x_pack(x: jax.Array, block: BlockSpec) -> jax.Array:

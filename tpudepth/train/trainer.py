@@ -168,6 +168,7 @@ def make_train_step(
     augment: bool = True,
     remat: bool = False,
     check_nans: bool = False,
+    check_grads: bool = False,
     depth_post_scale: float = 1.0,
     mesh=None,
     train_hw: Optional[Tuple[int, int]] = None,
@@ -191,7 +192,16 @@ def make_train_step(
 
     apply_fn = model.apply
     if remat:
-        apply_fn = jax.checkpoint(apply_fn, static_argnums=())
+        # jax.checkpoint cannot trace the non-array kwargs (train/mutable),
+        # so checkpoint a positional closure over them (round-4 fix; the
+        # naive jax.checkpoint(model.apply) raised on the mutable list).
+        _ckpt_apply = jax.checkpoint(
+            lambda v, im: model.apply(v, im, train=True,
+                                      mutable=["batch_stats"]))
+
+        def apply_fn(variables, image, train, mutable):
+            assert train and list(mutable) == ["batch_stats"]
+            return _ckpt_apply(variables, image)
     # losses/targets accumulate in f32 (model compute may be bf16); f64
     # compute (CPU invariance tests) keeps the full chain in f64.
     acc_dtype = jnp.float64 if compute_dtype == jnp.float64 else jnp.float32
@@ -246,6 +256,19 @@ def make_train_step(
             loss = jax.lax.cond(
                 jnp.isfinite(loss), lambda: loss, lambda: jnp.float32(jnp.nan)
             )
+        if check_grads:
+            # Cheap grad-poison tripwire (opt-in): XLA:TPU has a known
+            # fusion-sensitivity class that can corrupt GRADIENTS while the
+            # loss stays finite (docs/xla_tpu_grad_nan_bug.md,
+            # scripts/repro_spmd_grad_bug.py). Fold the global grad norm's
+            # finiteness into the reported loss so a poisoned step cannot
+            # train silently — one extra reduce over the (small) param tree,
+            # no extra device->host roundtrip.
+            gsq = sum(
+                jnp.sum(jnp.square(g.astype(jnp.float32)))
+                for g in jax.tree_util.tree_leaves(grads)
+            )
+            loss = jnp.where(jnp.isfinite(gsq), loss, jnp.float32(jnp.nan))
         state = state.apply_gradients(grads=grads, new_batch_stats=new_stats)
         return state, loss
 
@@ -278,7 +301,11 @@ class Trainer:
 
         self.config = config
         self.mesh = mesh or create_mesh()
-        self.model = model or build_model(config.model, dtype=_dtype(config.compute_dtype))
+        model_kwargs = {}
+        if config.remat_stages and config.model in ("GuideDepth", "GuideDepth-S"):
+            model_kwargs["remat_stages"] = True
+        self.model = model or build_model(
+            config.model, dtype=_dtype(config.compute_dtype), **model_kwargs)
         self.train_loader = train_loader
         self.val_loader = val_loader
         self.writer = writer
@@ -347,6 +374,7 @@ class Trainer:
             self.recipe,
             compute_dtype=_dtype(cfg.compute_dtype),
             remat=cfg.remat,
+            check_grads=cfg.check_grads,
             depth_post_scale=raw_depth_scale,
             mesh=self.mesh,
             train_hw=cfg.image_size,
