@@ -110,3 +110,94 @@ def test_converted_params_match_init_structure(key):
     init_shapes = jax.tree_util.tree_map(lambda x: x.shape, init_vars)
     conv_shapes = jax.tree_util.tree_map(lambda x: x.shape, variables)
     assert init_shapes == conv_shapes
+
+
+def test_bn_stats_bf16read_variant_matches_flax():
+    """TPUDEPTH_BN_STATS=bf16read swaps flax nn.BatchNorm for reductions
+    with f32 accumulation reading the compute-dtype tensor (the roofline
+    'bf16 stat reads' lever, PERF.md round 4). Same param/batch_stats tree,
+    train and eval outputs + running stats within bf16 tolerance."""
+    import os
+
+    import numpy as np
+
+    from tpudepth.models.layers import BatchNorm
+
+    rng = np.random.default_rng(3)
+    x = jnp.asarray(rng.normal(size=(4, 16, 16, 32)) * 2 + 0.5, jnp.float32)
+
+    def run(dtype):
+        ref = BatchNorm(0.1, 1e-5, dtype=dtype)
+        v = ref.init(jax.random.PRNGKey(0), x.astype(dtype), train=True)
+        y_ref, m_ref = ref.apply(v, x.astype(dtype), train=True,
+                                 mutable=["batch_stats"])
+        os.environ["TPUDEPTH_BN_STATS"] = "bf16read"
+        try:
+            fast = BatchNorm(0.1, 1e-5, dtype=dtype)
+            v2 = fast.init(jax.random.PRNGKey(0), x.astype(dtype), train=True)
+            assert (jax.tree_util.tree_structure(v2)
+                    == jax.tree_util.tree_structure(v))
+            y_fast, m_fast = fast.apply(v, x.astype(dtype), train=True,
+                                        mutable=["batch_stats"])
+            ye_ref = ref.apply(
+                {"params": v["params"],
+                 "batch_stats": m_ref["batch_stats"]}, x.astype(dtype),
+                train=False)
+        finally:
+            del os.environ["TPUDEPTH_BN_STATS"]
+        ye_ref2 = ref.apply(
+            {"params": v["params"], "batch_stats": m_ref["batch_stats"]},
+            x.astype(dtype), train=False)
+        return y_ref, m_ref, y_fast, m_fast, ye_ref, ye_ref2
+
+    # f32: stats must agree to float rounding, outputs to reassociation tol
+    y_ref, m_ref, y_fast, m_fast, ye_fast, ye_ref = run(jnp.float32)
+    for a, b in zip(jax.tree_util.tree_leaves(m_ref),
+                    jax.tree_util.tree_leaves(m_fast)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(y_ref), np.asarray(y_fast),
+                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(ye_fast), np.asarray(ye_ref),
+                               rtol=1e-6, atol=1e-6)
+
+    # bf16 compute: reading bf16 with f32 accumulation vs convert-then-reduce
+    # differ only by accumulation order — bound by bf16 epsilon
+    y_ref, m_ref, y_fast, m_fast, _, _ = run(jnp.bfloat16)
+    for a, b in zip(jax.tree_util.tree_leaves(m_ref),
+                    jax.tree_util.tree_leaves(m_fast)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-2, atol=2e-2)
+    np.testing.assert_allclose(
+        np.asarray(y_ref, np.float32), np.asarray(y_fast, np.float32),
+        rtol=3e-2, atol=3e-2)
+
+
+def test_mlp_infer_kernel_matches_unfused():
+    """ops/pallas/mlp_infer (fused fc1+GELU+fc2, hidden in VMEM — the eval
+    byte-reduction lever, PERF.md round 4) must match the unfused Mlp dots;
+    and the restructured Mlp module must keep nn.Dense's exact param tree."""
+    import numpy as np
+
+    from tpudepth.models.layers import Mlp
+    from tpudepth.ops.pallas.mlp_infer import mlp_infer, mlp_infer_available
+
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.normal(size=(2, 8, 16, 64)), jnp.float32)
+    mlp = Mlp(256, 64)
+    v = mlp.init(jax.random.PRNGKey(0), x)
+    assert set(v["params"].keys()) == {"fc1", "fc2"}
+    assert set(v["params"]["fc1"].keys()) == {"kernel", "bias"}
+    assert v["params"]["fc1"]["kernel"].shape == (64, 256)
+    y_ref = mlp.apply(v, x)  # CPU: unfused dots
+
+    m = 2 * 8 * 16
+    assert mlp_infer_available(m, 64, 256, 4)
+    y_k = mlp_infer(
+        x.reshape(m, 64),
+        v["params"]["fc1"]["kernel"], v["params"]["fc1"]["bias"],
+        v["params"]["fc2"]["kernel"], v["params"]["fc2"]["bias"],
+        interpret=True,
+    ).reshape(y_ref.shape)
+    np.testing.assert_allclose(np.asarray(y_k), np.asarray(y_ref),
+                               rtol=2e-6, atol=2e-6)

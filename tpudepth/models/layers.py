@@ -305,6 +305,51 @@ class _PackedBatchNormInner(nn.Module):
             bias.astype(dt), self.block)
 
 
+class _FastStatsBatchNormInner(nn.Module):
+    """nn.BatchNorm-param-compatible variant whose batch statistics are
+    reductions with f32 ACCUMULATION over the bf16 activation
+    (``jnp.mean(x, dtype=f32)``) instead of flax's convert-to-f32-then-reduce.
+
+    Experiment for the "bf16 BN statistic reads" roofline lever (PERF.md
+    round-1 profile attributed 218/738 ms to convert_reduce fusions over
+    full-res tensors). If XLA fuses the convert into the reduce (one bf16
+    read) both forms move the same bytes and this is HLO-noise; if the f32
+    copy materializes, this variant halves the stat-read traffic. Engaged by
+    TPUDEPTH_BN_STATS=bf16read; exactness vs nn.BatchNorm is tolerance-tested
+    (tests/test_models.py)."""
+
+    momentum: float  # flax-style
+    eps: float
+    dtype: Optional[Dtype] = None
+
+    @nn.compact
+    def __call__(self, x, train: bool):
+        c = x.shape[-1]
+        ra_mean = self.variable(
+            "batch_stats", "mean", lambda s: jnp.zeros(s, jnp.float32), (c,))
+        ra_var = self.variable(
+            "batch_stats", "var", lambda s: jnp.ones(s, jnp.float32), (c,))
+        scale = self.param("scale", nn.initializers.ones, (c,), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros, (c,), jnp.float32)
+        red = tuple(range(x.ndim - 1))
+        if train:
+            # f32 accumulator reductions reading the compute-dtype tensor
+            mean = jnp.mean(x, axis=red, dtype=jnp.float32)
+            mean2 = jnp.mean(jax.lax.square(x), axis=red, dtype=jnp.float32)
+            var = jnp.maximum(mean2 - mean * mean, 0.0)
+            if not self.is_initializing():
+                ra_mean.value = (self.momentum * ra_mean.value
+                                 + (1 - self.momentum) * mean)
+                ra_var.value = (self.momentum * ra_var.value
+                                + (1 - self.momentum) * var)
+        else:
+            mean, var = ra_mean.value, ra_var.value
+        dt = self.dtype or x.dtype
+        mul = jax.lax.rsqrt(var.astype(dt) + jnp.asarray(self.eps, dt))
+        mul = mul * scale.astype(dt)
+        return (x.astype(dt) - mean.astype(dt)) * mul + bias.astype(dt)
+
+
 class BatchNorm(nn.Module):
     """BatchNorm with torch-style momentum semantics.
 
@@ -330,6 +375,13 @@ class BatchNorm(nn.Module):
                 name="BatchNorm_0",
             )(x, train, stats_in=stats_in, as_vectors=as_vectors)
         assert stats_in is None and not as_vectors
+        import os
+
+        if os.environ.get("TPUDEPTH_BN_STATS") == "bf16read":
+            return _FastStatsBatchNormInner(
+                1.0 - self.torch_momentum, self.eps, dtype=self.dtype,
+                name="BatchNorm_0",
+            )(x, train)
         return nn.BatchNorm(
             use_running_average=not train,
             momentum=1.0 - self.torch_momentum,
@@ -381,8 +433,32 @@ class SqueezeExcitation(nn.Module):
         return x * hardsigmoid(s)
 
 
+class _DenseParams(nn.Module):
+    """Declares ``kernel``/``bias`` with nn.Dense's exact names, shapes and
+    initializers WITHOUT running the dot — the fused-MLP path needs the raw
+    values for its Pallas kernel while keeping the param tree (and every
+    checkpoint/converter) identical to the nn.Dense form."""
+
+    features: int
+
+    @nn.compact
+    def __call__(self, cin: int):
+        kernel = self.param("kernel", nn.initializers.lecun_normal(),
+                            (cin, self.features), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros, (self.features,),
+                          jnp.float32)
+        return kernel, bias
+
+
 class Mlp(nn.Module):
-    """Transformer FFN (``src/SAM.py:9-27``): Linear -> GELU -> Linear."""
+    """Transformer FFN (``src/SAM.py:9-27``): Linear -> GELU -> Linear.
+
+    On TPU at eval the two dots + GELU run as one fused Pallas kernel with
+    the 4x hidden activation held in VMEM (``ops/pallas/mlp_infer.py``) —
+    the hidden tensor's HBM write+read is the largest remaining byte
+    consumer of the attention decoders' eval path (PERF.md round 4).
+    Training and CPU keep the unfused dots (identical math to nn.Dense);
+    ``TPUDEPTH_MLP=xla`` opts out."""
 
     hidden_features: int
     out_features: int
@@ -390,10 +466,35 @@ class Mlp(nn.Module):
 
     @nn.compact
     def __call__(self, x):
-        x = nn.Dense(self.hidden_features, dtype=self.dtype, param_dtype=jnp.float32, name="fc1")(x)
-        x = gelu(x)
-        x = nn.Dense(self.out_features, dtype=self.dtype, param_dtype=jnp.float32, name="fc2")(x)
-        return x
+        import os
+
+        cin = x.shape[-1]
+        w1, b1 = _DenseParams(self.hidden_features, name="fc1")(cin)
+        w2, b2 = _DenseParams(self.out_features, name="fc2")(
+            self.hidden_features)
+        # same dtype promotion as nn.Dense(dtype=self.dtype, param_dtype=f32)
+        dt = self.dtype or jnp.promote_types(x.dtype, jnp.float32)
+
+        from tpudepth.ops.attention import is_training_trace
+
+        if (jax.default_backend() == "tpu" and not is_training_trace()
+                and os.environ.get("TPUDEPTH_MLP") != "xla"):
+            from tpudepth.ops.pallas.mlp_infer import (
+                mlp_infer,
+                mlp_infer_available,
+            )
+
+            m = 1
+            for d in x.shape[:-1]:
+                m *= d
+            if mlp_infer_available(m, cin, self.hidden_features,
+                                   jnp.dtype(dt).itemsize):
+                y = mlp_infer(x.reshape(m, cin).astype(dt), w1, b1, w2, b2)
+                return y.reshape(*x.shape[:-1], self.out_features)
+
+        h = jnp.dot(x.astype(dt), w1.astype(dt)) + b1.astype(dt)
+        h = gelu(h)
+        return jnp.dot(h.astype(dt), w2.astype(dt)) + b2.astype(dt)
 
 
 class LayerNorm(nn.Module):

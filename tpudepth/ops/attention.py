@@ -43,6 +43,12 @@ def training_mode(on: bool = True):
         _TRAINING.reset(token)
 
 
+def is_training_trace() -> bool:
+    """True while a training step is being traced (see ``training_mode``) —
+    shared by the eval-only kernel dispatches (attention, fused MLP)."""
+    return _TRAINING.get()
+
+
 def _to_heads(t: jax.Array, heads: int) -> jax.Array:
     bw, n, c = t.shape
     return t.reshape(bw, n, heads, c // heads).transpose(0, 2, 1, 3)
