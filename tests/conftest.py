@@ -4,6 +4,10 @@ sharding paths are exercised without TPU hardware (SURVEY.md §4)."""
 import os
 
 os.environ["JAX_PLATFORMS"] = "cpu"
+# Opt out of the default cross-run decode cache (~/.cache/tpudepth_data):
+# tests construct many tiny synthetic datasets and must not leave memmap
+# caches behind. Tests that exercise the disk cache pass cache_dir=tmp_path.
+os.environ.setdefault("TPUDEPTH_CACHE_DIR", "")
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (

@@ -9,9 +9,12 @@ loaders over the zip datasets with the resolution applied, returning
 
 TPU-first: the train split gets the SAME fast pipeline as
 ``get_training_testing_data`` — raw integer batches (device-side /255) with
-a decode-once RAM cache, or the cross-run memmap cache when
-``cache_dir``/``TPUDEPTH_CACHE_DIR`` is set, keyed by zip identity
-(size+mtime) + shard slice so a regenerated zip never serves stale pixels.
+a decode-once RAM cache, upgraded to a cross-run memmap cache by DEFAULT
+(derived ``~/.cache/tpudepth_data`` path, budget-capped; override with
+``cache_dir``/``TPUDEPTH_CACHE_DIR``, disable with ``TPUDEPTH_CACHE_DIR=""``)
+keyed by zip identity (size+mtime) + shard slice so a regenerated zip never
+serves stale pixels. The disk default closes the warm-compile/cold-data
+case: a SECOND process skips the decode epoch entirely (PERF.md round 4).
 Val/test splits stay in float mode (metrics consume host floats).
 """
 
