@@ -170,6 +170,9 @@ def main():
         "config": {"hw": [h, w], "bs": args.bs, "steps": args.steps, "lr": args.lr},
         "loss_step0": {"torch": torch_losses[0], "tpudepth": jax_losses[0]},
         "loss_last": {"torch": torch_losses[-1], "tpudepth": jax_losses[-1]},
+        "max_rel_loss_diff": max(
+            abs(a - b) / max(abs(a), 1e-12)
+            for a, b in zip(torch_losses, jax_losses)),
         "losses_torch": [round(v, 5) for v in torch_losses],
         "losses_tpudepth": [round(v, 5) for v in jax_losses],
         "metrics_torch": row(r_torch),

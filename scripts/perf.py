@@ -46,6 +46,9 @@ def main():
     p.add_argument("--recipe", default="alhashim", choices=["alhashim", "root"],
                    help="training loss recipe (root = SSIM+0.1*L1 on min-max "
                         "targets, what the root CLI uses for these models)")
+    p.add_argument("--packed-blocks", default="",
+                   help="per-stage pack-block override for the GuideDepth "
+                        "family, e.g. '2x4,4x8,8x8' ('-' entry = auto rule)")
     args = p.parse_args()
 
     from tpudepth.core.runtime import apply_platform_override
@@ -63,7 +66,12 @@ def main():
 
     bs, h, w = args.batch, args.height, args.width
     mesh = create_mesh()
-    model = build_model(args.model, dtype=jnp.bfloat16)
+    kwargs = {}
+    if args.packed_blocks:
+        kwargs["packed_blocks"] = tuple(
+            None if s == "-" else tuple(int(v) for v in s.split("x"))
+            for s in args.packed_blocks.split(","))
+    model = build_model(args.model, dtype=jnp.bfloat16, **kwargs)
     rng = np.random.default_rng(0)
     image = rng.random((bs, h, w, 3)).astype(np.float32)
     depth = (rng.random((bs, h, w, 1)) * 0.9 + 0.05).astype(np.float32)
@@ -73,6 +81,8 @@ def main():
     dep = jax.device_put(jnp.asarray(depth), sharding)
     results = {"model": args.model, "hw": [h, w], "batch": bs,
                "recipe": args.recipe}
+    if args.packed_blocks:
+        results["packed_blocks"] = args.packed_blocks
 
     if not args.train_only:
         imgb = img.astype(jnp.bfloat16)

@@ -10,7 +10,10 @@ the fraction of v5e peak (197 TFLOP/s bf16, 819 GB/s HBM) — i.e. whether a
 config is compute- or bandwidth-bound and how far from the roofline it sits.
 
 Usage: python scripts/roofline.py [config ...] where config is
-model:HxW:bs[:recipe] (default: the PERF.md headline set).
+model:HxW:bs[:recipe[:remat]] (default: the PERF.md headline set).
+``remat`` = 'stages' (per-GUB jax.checkpoint, GuideDepth family) or 'full'
+(checkpoint the whole forward). TPUDEPTH_ROOFLINE_TRAIN_ONLY=1 skips the
+inference rows (remat only changes the backward).
 """
 
 import functools
@@ -67,8 +70,18 @@ def main():
         parts = spec.split(":")
         name, hw, bs = parts[0], parts[1], int(parts[2])
         recipe_kind = parts[3] if len(parts) > 3 else "alhashim"
+        remat_mode = parts[4] if len(parts) > 4 else ""
         h, w = (int(v) for v in hw.split("x"))
-        model = build_model(name, dtype=jnp.bfloat16)
+        kwargs = {"remat_stages": True} if remat_mode == "stages" else {}
+        model = build_model(name, dtype=jnp.bfloat16, **kwargs)
+        apply_fn = model.apply
+        if remat_mode == "full":
+            _ckpt = jax.checkpoint(
+                lambda v, im, m=model: m.apply(v, im, train=True,
+                                               mutable=["batch_stats"]))
+
+            def apply_fn(v, im, train, mutable, _c=_ckpt):
+                return _c(v, im)
         rng = np.random.default_rng(0)
         image = rng.random((bs, h, w, 3)).astype(np.float32)
         depth = (rng.random((bs, h, w, 1)) * 0.9 + 0.05).astype(np.float32)
@@ -98,9 +111,9 @@ def main():
 
                 v = {"params": params, "batch_stats": state.batch_stats}
                 with training_mode():
-                    pred, mut = model.apply(v, im.astype(jnp.bfloat16),
-                                            train=True,
-                                            mutable=["batch_stats"])
+                    pred, mut = apply_fn(v, im.astype(jnp.bfloat16),
+                                         train=True,
+                                         mutable=["batch_stats"])
                 pred = pred.astype(jnp.float32)
                 tgt = target
                 if pred.shape[1:3] != tgt.shape[1:3]:
@@ -147,6 +160,10 @@ def main():
             "bound": "bandwidth" if gbs / PEAK_GBS > tflops / PEAK_TFLOPS
             else "compute",
         }
+
+        if os.environ.get("TPUDEPTH_ROOFLINE_TRAIN_ONLY"):
+            print(json.dumps(out), flush=True)
+            continue
 
         # inference forward
         imgb = img.astype(jnp.bfloat16)
