@@ -61,7 +61,10 @@ def main():
     # --- shared data ---------------------------------------------------------
     zp = make_synthetic_zip(f"/tmp/parity_{h}x{w}.zip", n_train=args.bs * args.steps,
                             n_test=8, image_hw=(h, w))
-    train_loader, test_loader = get_training_testing_data(args.bs, zp)
+    # float batches on BOTH sides: torch consumes float [0,1] directly and
+    # the matched-run protocol needs bit-identical pixels (the TPU-first
+    # default is raw uint8 + device-side /255, wrong for the torch side)
+    train_loader, test_loader = get_training_testing_data(args.bs, zp, raw=False)
     train_loader.shuffle = False  # identical order on both sides
     batches = list(train_loader)
     test_batches = list(test_loader)
