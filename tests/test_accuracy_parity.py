@@ -32,7 +32,12 @@ def _reference_guidedepth():
     return TorchGuideDepth(pretrained=False)
 
 
-def test_matched_training_losses_and_import_metrics(tmp_path):
+@pytest.mark.parametrize("hw", [(96, 128), (240, 320)])
+def test_matched_training_losses_and_import_metrics(hw, tmp_path):
+    """96x128: the golden-parity resolution. 240x320: the reference's actual
+    training default (``src/GuideDepth/main.py:72-87``) — the bounded
+    regression assert for the ref-operating-point matched run recorded in
+    BASELINE.md (100 steps bs8: max rel loss diff 0.75%)."""
     import optax
     import torch
 
@@ -46,10 +51,10 @@ def test_matched_training_losses_and_import_metrics(tmp_path):
     from tpudepth.models.torch_import import convert_guidedepth, state_dict_to_numpy
     from tpudepth.train.trainer import depth_norm, inverse_depth_norm
 
-    # 96x128 — the golden-parity resolution; at 64x64 the DAPPM pyramid
-    # pools are mostly padding and fp drift grows an order of magnitude.
+    # at 64x64 the DAPPM pyramid pools are mostly padding and fp drift grows
+    # an order of magnitude — test only at/above the golden resolution.
     zp = make_synthetic_zip(str(tmp_path / "p.zip"), n_train=2 * STEPS, n_test=2,
-                            image_hw=(96, 128))
+                            image_hw=hw)
     train_loader, test_loader = get_training_testing_data(2, zp, raw=False)
     train_loader.shuffle = False
     batches = list(train_loader)[:STEPS]
