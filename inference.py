@@ -44,6 +44,15 @@ def get_args():
     parser.add_argument("--batch_size", type=int, default=1)
     parser.add_argument("--engine_path", type=str, default="",
                         help="serialize the AOT engine here (TRT .engine analogue)")
+    parser.add_argument("--timing", type=str, default="auto",
+                        choices=["auto", "wall", "scan"],
+                        help="speedtest protocol: 'wall' = reference 10+200 "
+                             "host-clock runs (correct on real hardware); "
+                             "'scan' = scan-differential device timing "
+                             "(correct on remote/axon backends where "
+                             "block_until_ready only waits for dispatch); "
+                             "'auto' detects dispatch-only timing and "
+                             "switches to scan")
     return parser.parse_args()
 
 
@@ -93,7 +102,7 @@ def main():
     # TensorRT-fp16 speedtests (src/GuideDepth/inference.py:141-186): the
     # plain-jit f32 path stands in for eager PyTorch, the AOT bf16 engine
     # for the serialized TRT engine.
-    from tpudepth.infer.engine import speedtest
+    from tpudepth.infer.engine import speedtest_auto
 
     f32_model = build_model(args.model, dtype=jnp.float32)
 
@@ -102,14 +111,26 @@ def main():
         return f32_model.apply(variables, image, train=False)
 
     example = jnp.zeros(shape, jnp.float32)
-    jit_stats = speedtest(jit_forward, example, args.num_test_runs, args.warm_up_runs)
-    print("[tpudepth jit f32]     {:.5f} s/frame, {:.1f} FPS, {:.1f} img/s".format(
+    # nested jit inlines under the scan, so one callable serves both protocols
+    jit_stats = speedtest_auto(jit_forward, example, args.num_test_runs,
+                               args.warm_up_runs, timing=args.timing)
+    print("[tpudepth jit f32]     {:.5f} s/frame, {:.1f} FPS, {:.1f} img/s ({})".format(
         jit_stats["seconds_per_frame"], jit_stats["fps"],
-        jit_stats["fps"] * args.batch_size))
+        jit_stats["fps"] * args.batch_size, jit_stats["timing"]))
+    if "dispatch_only_wall_seconds_per_frame" in jit_stats:
+        print("  WARNING: wall-clock protocol measured dispatch only "
+              "({:.5f} s/frame) — reporting scan-differential device time".format(
+                  jit_stats["dispatch_only_wall_seconds_per_frame"]))
 
-    stats = engine.benchmark(args.num_test_runs, args.warm_up_runs)
-    print("[tpudepth bf16 engine] {:.5f} s/frame, {:.1f} FPS, {:.1f} img/s".format(
-        stats["seconds_per_frame"], stats["fps"], stats["images_per_second"]))
+    stats = engine.benchmark(args.num_test_runs, args.warm_up_runs,
+                             timing=args.timing)
+    print("[tpudepth bf16 engine] {:.5f} s/frame, {:.1f} FPS, {:.1f} img/s ({})".format(
+        stats["seconds_per_frame"], stats["fps"], stats["images_per_second"],
+        stats["timing"]))
+    if "dispatch_only_wall_seconds_per_frame" in stats:
+        print("  WARNING: wall-clock protocol measured dispatch only "
+              "({:.5f} s/frame) — reporting scan-differential device time".format(
+                  stats["dispatch_only_wall_seconds_per_frame"]))
     print("speedup engine/jit: {:.2f}x".format(
         jit_stats["seconds_per_frame"] / stats["seconds_per_frame"]))
 

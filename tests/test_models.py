@@ -201,3 +201,46 @@ def test_mlp_infer_kernel_matches_unfused():
     ).reshape(y_ref.shape)
     np.testing.assert_allclose(np.asarray(y_k), np.asarray(y_ref),
                                rtol=2e-6, atol=2e-6)
+
+
+def test_mlp_train_kernel_fwd_and_grads_match_unfused():
+    """ops/pallas/mlp_train (fused FFN fwd + analytic-VJP bwd recomputing the
+    hidden tile in VMEM — the TRAIN byte-reduction lever, VERDICT r4 item 1)
+    must match the unfused dots path: forward AND all five gradients
+    (dx, dw1, db1, dw2, db2)."""
+    import numpy as np
+
+    from tpudepth.ops.pallas.mlp_train import mlp_train, mlp_train_available
+
+    rng = np.random.default_rng(1)
+    m, c, h, c2 = 64, 64, 256, 64
+    x = jnp.asarray(rng.normal(size=(m, c)), jnp.float32)
+    w1 = jnp.asarray(rng.normal(size=(c, h)) * 0.1, jnp.float32)
+    b1 = jnp.asarray(rng.normal(size=(h,)) * 0.1, jnp.float32)
+    w2 = jnp.asarray(rng.normal(size=(h, c2)) * 0.1, jnp.float32)
+    b2 = jnp.asarray(rng.normal(size=(c2,)) * 0.1, jnp.float32)
+    g = jnp.asarray(rng.normal(size=(m, c2)), jnp.float32)
+    assert mlp_train_available(m, c, h, 4)
+
+    def unfused(x, w1, b1, w2, b2):
+        hh = jax.nn.gelu(x @ w1 + b1, approximate=False)
+        return hh @ w2 + b2
+
+    def loss_ref(*args):
+        return jnp.vdot(unfused(*args), g)
+
+    def loss_fused(*args):
+        return jnp.vdot(mlp_train(*args, True), g)
+
+    y_ref = unfused(x, w1, b1, w2, b2)
+    y_k = mlp_train(x, w1, b1, w2, b2, True)
+    np.testing.assert_allclose(np.asarray(y_k), np.asarray(y_ref),
+                               rtol=3e-6, atol=3e-6)
+
+    grads_ref = jax.grad(loss_ref, argnums=(0, 1, 2, 3, 4))(x, w1, b1, w2, b2)
+    grads_k = jax.grad(loss_fused, argnums=(0, 1, 2, 3, 4))(x, w1, b1, w2, b2)
+    for name, a, b in zip(("dx", "dw1", "db1", "dw2", "db2"),
+                          grads_k, grads_ref):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=2e-5, atol=2e-5,
+            err_msg=name)

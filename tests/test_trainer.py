@@ -253,3 +253,71 @@ def test_full_remat_train_step_runs_and_matches():
         return float(loss)
 
     assert run(True) == pytest.approx(run(False), rel=1e-6)
+
+
+def test_alias_models_get_reference_semantics():
+    """VERDICT r4 weak #3: registry aliases must not dodge name-keyed behavior.
+    ``build_model("mobilev3_sam")`` is the SAM model (frozen-encoder reference
+    semantics, src/model_mobileV3_large_SAM.py:168-169); the Trainer keys its
+    freeze mask off the CANONICAL name."""
+    from tpudepth.models.decoders import MobileV3SAMDepth
+    from tpudepth.models.registry import build_model as bm
+    from tpudepth.models.registry import canonical_model_name
+
+    assert canonical_model_name("mobilev3_sam") == "sam"
+    assert canonical_model_name("mobileV3_large_SAM") == "sam"
+    assert canonical_model_name("GuideDepth_s") == "GuideDepth-S"
+    assert isinstance(bm("mobilev3_large_sam"), MobileV3SAMDepth)
+    with pytest.raises(ValueError):
+        canonical_model_name("no_such_model")
+
+    # Trainer freeze wiring through an alias, exercised with a cheap explicit
+    # model (real SAM init costs minutes on CPU; the mask only needs a
+    # top-level 'encoder' module).
+    cfg = TrainConfig(model="mobilev3_large_sam", compute_dtype="float32")
+    tr = Trainer(cfg, model=build_model("unet_interp"),
+                 mesh=create_mesh(num_data=1))
+    assert tr.model_name == "sam"
+    assert tr.recipe.kind == "root"
+    rng = np.random.default_rng(0)
+    image = rng.random((2, 32, 32, 3), dtype=np.float32)
+    depth = rng.random((2, 32, 32, 1), dtype=np.float32) * 0.9 + 0.05
+    tr.steps_per_epoch = 4
+    tr.init_state(image)
+    before_enc = np.asarray(
+        jax.tree_util.tree_leaves(tr.state.params["encoder"])[0]).copy()
+    tr.train_step({"image": image, "depth": depth})
+    after_enc = np.asarray(
+        jax.tree_util.tree_leaves(tr.state.params["encoder"])[0])
+    np.testing.assert_array_equal(before_enc, after_enc)
+
+
+def test_epoch_loss_average_is_exact_mean_of_all_steps(tmp_path):
+    """VERDICT r4 weak #2: ``train_epoch`` must return the sample-weighted
+    mean over EVERY step (reference meter updates every iteration,
+    src/train.py:111-132), not a 1-in-log_every subsample — while only
+    pulling a host float on log steps."""
+    from tpudepth.data import get_training_testing_data, make_synthetic_zip
+
+    synth_zip = make_synthetic_zip(
+        str(tmp_path / "synth.zip"), n_train=12, n_test=2, image_hw=(32, 32))
+    cfg = TrainConfig(model="unet_interp", batch_size=4,
+                      compute_dtype="float32", log_every=2)
+    train, _ = get_training_testing_data(4, synth_zip)
+    tr = Trainer(cfg, mesh=create_mesh(num_data=1), train_loader=train)
+    first = next(iter(train))
+    tr.init_state(first["image"])
+
+    recorded = []
+    orig_step = tr.train_step
+
+    def recording_step(batch, rng=None):
+        loss = orig_step(batch, rng)
+        recorded.append((float(loss), batch["image"].shape[0]))
+        return loss
+
+    tr.train_step = recording_step
+    avg = tr.train_epoch()
+    assert len(recorded) == 3  # 12 samples / bs 4 — log_every=2 subsampled 2
+    expect = sum(l * n for l, n in recorded) / sum(n for _, n in recorded)
+    assert avg == pytest.approx(expect, rel=1e-6)

@@ -38,7 +38,73 @@ def speedtest(
         fn(example).block_until_ready()
         times += time.perf_counter() - t0
     per_frame = times / num_test_runs
-    return {"seconds_per_frame": per_frame, "fps": 1.0 / per_frame}
+    return {"seconds_per_frame": per_frame, "fps": 1.0 / per_frame,
+            "timing": "wall"}
+
+
+def speedtest_scan(
+    fn: Callable,
+    example: jax.Array,
+    k1: int = 2,
+    k2: int = 12,
+) -> Dict[str, float]:
+    """Scan-differential DEVICE timing.
+
+    On remote-execution backends (the axon TPU tunnel here),
+    ``block_until_ready`` returns after dispatch, before execution — the
+    wall-clock protocol above then measures dispatch only (observed up to
+    ~50x inflation; BASELINE.md timing caveat). This protocol times k1 and k2
+    chained executions of ``fn`` inside one jitted ``lax.scan`` (the chain
+    forces sequential device execution; fetching one output scalar forces
+    completion) and reports the differential — per-run host/dispatch overhead
+    cancels out.
+    """
+    import functools
+
+    @functools.partial(jax.jit, static_argnames="k")
+    def run_k(x, k):
+        def body(c, _):
+            y = fn(c)
+            # fold a zero-scaled reduction of the output into the carry so the
+            # iterations chain and cannot be DCE'd
+            return c + jnp.mean(y).astype(c.dtype) * 0, None
+
+        c, _ = jax.lax.scan(body, x, None, length=k)
+        return c
+
+    times = {}
+    for k in (k1, k2):
+        float(run_k(example, k).reshape(-1)[0].astype(jnp.float32))  # compile+settle
+        t0 = time.perf_counter()
+        float(run_k(example, k).reshape(-1)[0].astype(jnp.float32))
+        times[k] = time.perf_counter() - t0
+    per_frame = (times[k2] - times[k1]) / (k2 - k1)
+    return {"seconds_per_frame": per_frame, "fps": 1.0 / per_frame,
+            "timing": "scan"}
+
+
+def speedtest_auto(
+    fn: Callable,
+    example: jax.Array,
+    num_test_runs: int = 200,
+    warm_up_runs: int = 10,
+    timing: str = "auto",
+) -> Dict[str, float]:
+    """Dispatch to wall / scan timing; ``auto`` self-calibrates: it runs both
+    and keeps the scan (device-true) numbers whenever the wall protocol reads
+    faster than ~70% of the measured device time — impossible on hardware that
+    actually synchronizes, so a sure sign the host timer only saw dispatch."""
+    if timing == "wall":
+        return speedtest(fn, example, num_test_runs, warm_up_runs)
+    if timing == "scan":
+        return speedtest_scan(fn, example)
+    scan_stats = speedtest_scan(fn, example)
+    wall_stats = speedtest(fn, example, num_test_runs, warm_up_runs)
+    if wall_stats["seconds_per_frame"] < 0.7 * scan_stats["seconds_per_frame"]:
+        scan_stats["dispatch_only_wall_seconds_per_frame"] = (
+            wall_stats["seconds_per_frame"])
+        return scan_stats
+    return wall_stats
 
 
 class InferenceEngine:
@@ -84,9 +150,25 @@ class InferenceEngine:
     def __call__(self, image) -> jax.Array:
         return self._compiled(jnp.asarray(image, jnp.float32))
 
-    def benchmark(self, num_test_runs: int = 200, warm_up_runs: int = 10) -> Dict[str, float]:
+    def benchmark(self, num_test_runs: int = 200, warm_up_runs: int = 10,
+                  timing: str = "auto") -> Dict[str, float]:
+        """``timing``: 'wall' = reference 10+200 protocol, 'scan' =
+        scan-differential device time, 'auto' (default) = wall unless it is
+        detectably dispatch-only (axon), then scan. Scan times ``self._fn``
+        (the engine's function re-jitted inside the scan) rather than the AOT
+        executable — same computation, chained on device."""
         example = jnp.zeros(self.input_shape, jnp.float32)
-        stats = speedtest(self._compiled, example, num_test_runs, warm_up_runs)
+        if timing == "wall":
+            stats = speedtest(self._compiled, example, num_test_runs, warm_up_runs)
+        elif timing == "scan":
+            stats = speedtest_scan(self._fn, example)
+        else:
+            scan_stats = speedtest_scan(self._fn, example)
+            stats = speedtest(self._compiled, example, num_test_runs, warm_up_runs)
+            if stats["seconds_per_frame"] < 0.7 * scan_stats["seconds_per_frame"]:
+                scan_stats["dispatch_only_wall_seconds_per_frame"] = (
+                    stats["seconds_per_frame"])
+                stats = scan_stats
         batch = self.input_shape[0]
         stats["images_per_second"] = stats["fps"] * batch
         return stats

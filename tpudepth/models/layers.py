@@ -453,12 +453,13 @@ class _DenseParams(nn.Module):
 class Mlp(nn.Module):
     """Transformer FFN (``src/SAM.py:9-27``): Linear -> GELU -> Linear.
 
-    On TPU at eval the two dots + GELU run as one fused Pallas kernel with
-    the 4x hidden activation held in VMEM (``ops/pallas/mlp_infer.py``) —
-    the hidden tensor's HBM write+read is the largest remaining byte
-    consumer of the attention decoders' eval path (PERF.md round 4).
-    Training and CPU keep the unfused dots (identical math to nn.Dense);
-    ``TPUDEPTH_MLP=xla`` opts out."""
+    On TPU the two dots + GELU run as one fused Pallas kernel with the 4x
+    hidden activation held in VMEM — ``ops/pallas/mlp_infer.py`` at eval,
+    ``ops/pallas/mlp_train.py`` (fused analytic-VJP backward that recomputes
+    the hidden tile) on training traces. The hidden tensor's HBM round-trips
+    are the largest byte consumer of the attention decoders in both modes
+    (PERF.md rounds 4-5). CPU keeps the unfused dots (identical math to
+    nn.Dense); ``TPUDEPTH_MLP=xla`` opts out."""
 
     hidden_features: int
     out_features: int
@@ -477,20 +478,35 @@ class Mlp(nn.Module):
 
         from tpudepth.ops.attention import is_training_trace
 
-        if (jax.default_backend() == "tpu" and not is_training_trace()
+        if (jax.default_backend() == "tpu"
                 and os.environ.get("TPUDEPTH_MLP") != "xla"):
-            from tpudepth.ops.pallas.mlp_infer import (
-                mlp_infer,
-                mlp_infer_available,
-            )
-
             m = 1
             for d in x.shape[:-1]:
                 m *= d
-            if mlp_infer_available(m, cin, self.hidden_features,
-                                   jnp.dtype(dt).itemsize):
-                y = mlp_infer(x.reshape(m, cin).astype(dt), w1, b1, w2, b2)
-                return y.reshape(*x.shape[:-1], self.out_features)
+            if is_training_trace():
+                # training: fused fwd + fused analytic-VJP bwd that
+                # recomputes the hidden tile in VMEM — removes all four
+                # [M, 4C] HBM streams of the unfused autodiff
+                # (ops/pallas/mlp_train.py; VERDICT r4 item 1)
+                from tpudepth.ops.pallas.mlp_train import (
+                    mlp_train,
+                    mlp_train_available,
+                )
+
+                if mlp_train_available(m, cin, self.hidden_features,
+                                       jnp.dtype(dt).itemsize):
+                    y = mlp_train(x.reshape(m, cin).astype(dt), w1, b1, w2, b2)
+                    return y.reshape(*x.shape[:-1], self.out_features)
+            else:
+                from tpudepth.ops.pallas.mlp_infer import (
+                    mlp_infer,
+                    mlp_infer_available,
+                )
+
+                if mlp_infer_available(m, cin, self.hidden_features,
+                                       jnp.dtype(dt).itemsize):
+                    y = mlp_infer(x.reshape(m, cin).astype(dt), w1, b1, w2, b2)
+                    return y.reshape(*x.shape[:-1], self.out_features)
 
         h = jnp.dot(x.astype(dt), w1.astype(dt)) + b1.astype(dt)
         h = gelu(h)

@@ -298,14 +298,19 @@ class Trainer:
         writer=None,
     ):
         from tpudepth.models import build_model
+        from tpudepth.models.registry import canonical_model_name
 
         self.config = config
         self.mesh = mesh or create_mesh()
+        # Canonicalize ONCE: every name-keyed behavior switch below (remat,
+        # loss recipe, frozen encoder) uses the canonical name so registry
+        # aliases ("mobilev3_sam", ...) cannot dodge reference semantics.
+        self.model_name = canonical_model_name(config.model, strict=model is None)
         model_kwargs = {}
-        if config.remat_stages and config.model in ("GuideDepth", "GuideDepth-S"):
+        if config.remat_stages and self.model_name in ("GuideDepth", "GuideDepth-S"):
             model_kwargs["remat_stages"] = True
         self.model = model or build_model(
-            config.model, dtype=_dtype(config.compute_dtype), **model_kwargs)
+            self.model_name, dtype=_dtype(config.compute_dtype), **model_kwargs)
         self.train_loader = train_loader
         self.val_loader = val_loader
         self.writer = writer
@@ -318,7 +323,7 @@ class Trainer:
             self.steps_per_epoch = 1
 
         recipe_kind = "alhashim" if config.eval_mode == "alhashim" else "l1"
-        if config.model not in ("GuideDepth", "GuideDepth-S"):
+        if self.model_name not in ("GuideDepth", "GuideDepth-S"):
             # root stack models train with the root recipe (src/train.py:94-100)
             recipe_kind = "root"
         # 8-bit NYU depth arrives in [0,1] -> scale by max_depth to meters;
@@ -349,7 +354,10 @@ class Trainer:
         batch_stats = variables.get("batch_stats", FrozenDict())
 
         frozen_mask = None
-        if cfg.model == "sam":
+        if self.model_name == "sam":
+            # the reference freezes the MobileNetV3 backbone for the SAM model
+            # only (src/model_mobileV3_large_SAM.py:168-169); keyed on the
+            # CANONICAL name so "mobilev3_sam"-style aliases freeze too.
             frozen_mask = freeze_encoder_mask(params)
         tx = make_optimizer(cfg, self.steps_per_epoch, frozen_mask)
         opt_state = tx.init(params)
@@ -395,27 +403,35 @@ class Trainer:
         return loss
 
     def train_epoch(self, log_fn=None, steps_cap: int = 0, image_log_fn=None) -> float:
+        """One epoch; returns the EXACT sample-weighted mean of every step's
+        loss (the reference updates its meter every iteration —
+        ``src/train.py:111-132``). TPU-honest accounting: the running sum is a
+        device scalar updated by a lazily-dispatched add per step, fetched
+        ONCE at epoch end — no per-step device->host sync (host floats are
+        only pulled on ``log_every`` steps, for the console/TB line)."""
         cfg = self.config
         steps_total = len(self.train_loader)
         steps_cap = steps_cap or steps_total
-        total, count = 0.0, 0
+        total_dev, count = None, 0
         start = time.perf_counter()
         for i, batch in enumerate(self.train_loader):
             if i >= steps_cap:
                 break
             loss = self.train_step(batch)
+            bs = batch["image"].shape[0]
+            contrib = jnp.asarray(loss, jnp.float32) * bs
+            total_dev = contrib if total_dev is None else total_dev + contrib
+            count += bs
             niter = self.epoch * steps_total + i
-            if i % cfg.log_every == 0:
-                loss_f = float(loss)
-                total += loss_f * batch["image"].shape[0]
-                count += batch["image"].shape[0]
-                if log_fn:
-                    log_fn(self.epoch, i, steps_total, loss_f,
-                           time.perf_counter() - start, niter)
+            if i % cfg.log_every == 0 and log_fn:
+                log_fn(self.epoch, i, steps_total, float(loss),
+                       time.perf_counter() - start, niter)
                 start = time.perf_counter()
             if image_log_fn and i % cfg.image_log_every == 0:
                 image_log_fn(niter)
-        return total / max(count, 1)
+        if total_dev is None:
+            return 0.0
+        return float(total_dev) / max(count, 1)
 
     def val_epoch(self, max_batches: int = 0):
         """Validation loop parity (``src/GuideDepth/training.py:110-154``):
