@@ -27,3 +27,11 @@ import pytest
 @pytest.fixture
 def rng():
     return np.random.default_rng(0)
+
+
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers",
+        "slow: multi-minute matched-training / multi-process tests "
+        "(fast gate: pytest -m 'not slow')",
+    )

@@ -32,6 +32,7 @@ def _reference_guidedepth():
     return TorchGuideDepth(pretrained=False)
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("hw", [(96, 128), (240, 320)])
 def test_matched_training_losses_and_import_metrics(hw, tmp_path):
     """96x128: the golden-parity resolution. 240x320: the reference's actual
@@ -131,6 +132,7 @@ def test_matched_training_losses_and_import_metrics(hw, tmp_path):
         assert getattr(r_j, k) == pytest.approx(getattr(r_t, k), rel=1e-3, abs=1e-4), k
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("variant", ["sam", "newcrf"])
 def test_attention_matched_training_and_import_metrics(variant, tmp_path):
     """Full-model SAM/NewCRF accuracy parity (VERDICT r2 item 5): same torch

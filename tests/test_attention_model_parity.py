@@ -66,6 +66,7 @@ def _convert_sam_stage(tmodule):
     return {k: v["stage"] for k, v in vars_.items()}
 
 
+@pytest.mark.slow
 def test_sam_stage_matches_reference(reference_modules):
     import torch
 
@@ -101,6 +102,7 @@ def test_sam_stage_matches_reference(reference_modules):
     np.testing.assert_allclose(got, want, rtol=1e-3, atol=1e-4)
 
 
+@pytest.mark.slow
 def test_newcrf_stage_matches_reference(reference_modules):
     import torch
 

@@ -33,6 +33,7 @@ def _leaves(tree):
     return [np.asarray(x) for x in jax.tree_util.tree_leaves(tree)]
 
 
+@pytest.mark.slow
 def test_fit_checkpoint_resume_and_best_model(tmp_path):
     synth_zip = make_synthetic_zip(
         str(tmp_path / "synth.zip"), n_train=8, n_test=2, image_hw=(32, 32))

@@ -30,6 +30,7 @@ def _free_port() -> int:
         return s.getsockname()[1]
 
 
+@pytest.mark.slow
 def test_two_process_distributed_train_step_matches_single_process(tmp_path):
     from tpudepth.data import make_synthetic_zip
 

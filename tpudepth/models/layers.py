@@ -466,13 +466,15 @@ class Mlp(nn.Module):
     dtype: Optional[Dtype] = None
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, params_only: bool = False):
         import os
 
         cin = x.shape[-1]
         w1, b1 = _DenseParams(self.hidden_features, name="fc1")(cin)
         w2, b2 = _DenseParams(self.out_features, name="fc2")(
             self.hidden_features)
+        if params_only:  # fused whole-block kernel pulls the raw weights
+            return w1, b1, w2, b2
         # same dtype promotion as nn.Dense(dtype=self.dtype, param_dtype=f32)
         dt = self.dtype or jnp.promote_types(x.dtype, jnp.float32)
 
@@ -513,11 +515,30 @@ class Mlp(nn.Module):
         return jnp.dot(h.astype(dt), w2.astype(dt)) + b2.astype(dt)
 
 
+class _LNChild(nn.Module):
+    """Declares ``scale``/``bias`` with nn.LayerNorm's exact names, shapes and
+    initializers WITHOUT normalizing — the fused whole-block kernel needs the
+    raw values while keeping the param tree identical to the nn.LayerNorm
+    form (same contract as :class:`_DenseParams`)."""
+
+    @nn.compact
+    def __call__(self, c: int):
+        scale = self.param("scale", nn.initializers.ones, (c,), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros, (c,), jnp.float32)
+        return scale, bias
+
+
 class LayerNorm(nn.Module):
-    """torch-eps LayerNorm over the channel dim."""
+    """torch-eps LayerNorm over the channel dim.
+
+    ``params_only=True`` returns the raw (scale, bias) instead of normalizing
+    — declared under the same ``LayerNorm_0`` child path nn.LayerNorm would
+    auto-create, so both branches build one param tree."""
 
     dtype: Optional[Dtype] = None
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, params_only: bool = False):
+        if params_only:
+            return _LNChild(name="LayerNorm_0")(x.shape[-1])
         return nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, param_dtype=jnp.float32)(x)

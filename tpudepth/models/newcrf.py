@@ -40,18 +40,13 @@ class WindowAttentionQKfromX(nn.Module):
 
     @nn.compact
     def __call__(
-        self, x_windows: jax.Array, v_windows: jax.Array, mask: Optional[jax.Array]
-    ) -> jax.Array:
+        self, x_windows: jax.Array, v_windows: jax.Array,
+        mask: Optional[jax.Array] = None, params_only: bool = False,
+    ):
         bw, n, c = x_windows.shape
         heads = self.num_heads
         head_dim = c // heads
         scale = head_dim**-0.5
-
-        qk = nn.Dense(2 * c, dtype=self.dtype, param_dtype=jnp.float32, name="qk")(x_windows)
-        q, k = jnp.split(qk, 2, axis=-1)
-        q = q * scale
-        # values used raw, no projection (:143-144); q/k/v stay channel-packed
-        # [BW, N, C] — head splitting happens inside the attention op.
 
         table = self.param(
             "relative_position_bias_table",
@@ -60,7 +55,23 @@ class WindowAttentionQKfromX(nn.Module):
             jnp.float32,
         )
         idx = relative_position_index(self.window_size).reshape(-1)
-        bias = table[idx].reshape(n, n, heads).transpose(2, 0, 1)
+        nb = self.window_size ** 2
+        bias = table[idx].reshape(nb, nb, heads).transpose(2, 0, 1)
+
+        if params_only:
+            # fused whole-block path: raw weights, nn.Dense-identical tree
+            from tpudepth.models.layers import _DenseParams
+
+            wqk, bqk = _DenseParams(2 * c, name="qk")(c)
+            wproj, bproj = _DenseParams(c, name="proj")(c)
+            return dict(wqk=wqk, bqk=bqk, wproj=wproj, bproj=bproj,
+                        bias=bias, scale=scale)
+
+        qk = nn.Dense(2 * c, dtype=self.dtype, param_dtype=jnp.float32, name="qk")(x_windows)
+        q, k = jnp.split(qk, 2, axis=-1)
+        q = q * scale
+        # values used raw, no projection (:143-144); q/k/v stay channel-packed
+        # [BW, N, C] — head splitting happens inside the attention op.
 
         out = window_cross_attention_packed(
             q, k, v_windows, bias, mask, use_pallas=self.use_pallas
@@ -83,6 +94,9 @@ class CRFBlock(nn.Module):
     def __call__(self, x: jax.Array, v: jax.Array) -> jax.Array:
         b, h, w, c = x.shape
         ws, ss = self.window_size, self.shift_size
+
+        if self._use_fused_block(c):
+            return self._fused_block(x, v)
 
         shortcut = x
         xn = LayerNorm(dtype=self.dtype, name="norm1")(x)  # v is not normalized
@@ -116,6 +130,70 @@ class CRFBlock(nn.Module):
             int(c * self.mlp_ratio), c, dtype=self.dtype, name="mlp"
         )(LayerNorm(dtype=self.dtype, name="norm2")(x))
         return x
+
+    def _use_fused_block(self, c: int) -> bool:
+        import os
+
+        from tpudepth.ops.attention import is_training_trace
+
+        if (jax.default_backend() != "tpu" or is_training_trace()
+                or os.environ.get("TPUDEPTH_BLOCK") == "xla"
+                or self.use_pallas is False):
+            return False
+        from tpudepth.ops.pallas.block_infer import block_infer_available
+
+        return block_infer_available(c, self.num_heads, int(c * self.mlp_ratio))
+
+    def _declare_params(self, x: jax.Array, v: jax.Array):
+        """Declare every block param through the SAME submodule names the
+        unfused path uses (tree equality asserted in tests) and return the
+        raw values for the fused kernel."""
+        b, h, w, c = x.shape
+        ws = self.window_size
+        ln1 = LayerNorm(dtype=self.dtype, name="norm1")(x, params_only=True)
+        ap = WindowAttentionQKfromX(
+            self.dim, self.num_heads, ws, dtype=self.dtype,
+            use_pallas=self.use_pallas, name="attn",
+        )(x.reshape(b, h * w, c), v.reshape(b, h * w, c), params_only=True)
+        ln2 = LayerNorm(dtype=self.dtype, name="norm2")(x, params_only=True)
+        mlp = Mlp(int(c * self.mlp_ratio), c, dtype=self.dtype,
+                  name="mlp")(x, params_only=True)
+        return ln1, ap, ln2, mlp
+
+    def _fused_block(self, x: jax.Array, v: jax.Array) -> jax.Array:
+        """TPU-inference path: LN1 -> qk projection -> (shifted) windowed
+        attention on raw values -> proj -> residual -> LN2 -> FFN -> residual
+        as ONE Pallas kernel per window tile (``ops/pallas/block_infer.py``).
+        Params declared through the same submodules as the unfused path."""
+        from tpudepth.ops.pallas.block_infer import crf_block_infer
+        from tpudepth.ops.window import window_valid_mask
+
+        b, h, w, c = x.shape
+        ws, ss = self.window_size, self.shift_size
+        n = ws * ws
+        dt = self.dtype or jnp.promote_types(x.dtype, jnp.float32)
+
+        ln1, ap, ln2, (w1, b1, w2, b2) = self._declare_params(x, v)
+
+        xp, hp, wp = pad_to_window_multiple(x, ws)
+        vp, _, _ = pad_to_window_multiple(v, ws)
+        mask = None
+        if ss > 0:
+            xp = jnp.roll(xp, shift=(-ss, -ss), axis=(1, 2))
+            vp = jnp.roll(vp, shift=(-ss, -ss), axis=(1, 2))
+            mask = jnp.asarray(shifted_window_attention_mask(h, w, ws, ss))
+        xw = window_partition(xp, ws).reshape(-1, n, c).astype(dt)
+        vw = window_partition(vp, ws).reshape(-1, n, c)
+        valid = window_valid_mask(h, w, ws, ss)
+
+        yw = crf_block_infer(
+            xw, vw, ln1, ap["wqk"], ap["bqk"], ap["bias"], ap["wproj"],
+            ap["bproj"], ln2, w1, b1, w2, b2, mask, valid, scale=ap["scale"],
+        )
+        y = window_reverse(yw.reshape(-1, ws, ws, c), ws, hp, wp)
+        if ss > 0:
+            y = jnp.roll(y, shift=(ss, ss), axis=(1, 2))
+        return y[:, :h, :w, :]
 
 
 class NewCRF(nn.Module):

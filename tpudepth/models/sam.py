@@ -40,18 +40,13 @@ class WindowCrossAttentionQKV(nn.Module):
     use_pallas: Optional[bool] = None
 
     @nn.compact
-    def __call__(self, x_windows: jax.Array, v_windows: jax.Array) -> jax.Array:
+    def __call__(self, x_windows: jax.Array, v_windows: jax.Array,
+                 params_only: bool = False):
         # x_windows, v_windows: [BW, N, C]
         bw, n, c = x_windows.shape
         heads = self.num_heads
         head_dim = c // heads
         scale = head_dim**-0.5
-
-        q = nn.Dense(c, dtype=self.dtype, param_dtype=jnp.float32, name="q")(x_windows)
-        kv = nn.Dense(2 * c, dtype=self.dtype, param_dtype=jnp.float32, name="kv")(v_windows)
-        k, v = jnp.split(kv, 2, axis=-1)
-        q = q * scale
-        # q/k/v stay channel-packed [BW, N, C]; heads split inside the op.
 
         table = self.param(
             "relative_position_bias_table",
@@ -60,7 +55,24 @@ class WindowCrossAttentionQKV(nn.Module):
             jnp.float32,
         )
         idx = relative_position_index(self.window_size).reshape(-1)
-        bias = table[idx].reshape(n, n, heads).transpose(2, 0, 1)
+        nb = self.window_size ** 2  # == n on the window path; params_only may
+        bias = table[idx].reshape(nb, nb, heads).transpose(2, 0, 1)  # pass full maps
+
+        if params_only:
+            # fused whole-block path: raw weights, nn.Dense-identical tree
+            from tpudepth.models.layers import _DenseParams
+
+            wq, bq = _DenseParams(c, name="q")(c)
+            wkv, bkv = _DenseParams(2 * c, name="kv")(c)
+            wproj, bproj = _DenseParams(c, name="proj")(c)
+            return dict(wq=wq, bq=bq, wkv=wkv, bkv=bkv, wproj=wproj,
+                        bproj=bproj, bias=bias, scale=scale)
+
+        q = nn.Dense(c, dtype=self.dtype, param_dtype=jnp.float32, name="q")(x_windows)
+        kv = nn.Dense(2 * c, dtype=self.dtype, param_dtype=jnp.float32, name="kv")(v_windows)
+        k, v = jnp.split(kv, 2, axis=-1)
+        q = q * scale
+        # q/k/v stay channel-packed [BW, N, C]; heads split inside the op.
 
         out = window_cross_attention_packed(q, k, v, bias, use_pallas=self.use_pallas)
         return nn.Dense(c, dtype=self.dtype, param_dtype=jnp.float32, name="proj")(out)
@@ -81,6 +93,9 @@ class SAMBlock(nn.Module):
         # x (query source / decoder), v (encoder): [B, H, W, C]
         b, h, w, c = x.shape
         ws = self.window_size
+
+        if self._use_fused_block(c):
+            return self._fused_block(x, v)
 
         shortcut = x
         xn = LayerNorm(dtype=self.dtype, name="norm1")(x)
@@ -105,6 +120,66 @@ class SAMBlock(nn.Module):
             int(c * self.mlp_ratio), c, dtype=self.dtype, name="mlp"
         )(LayerNorm(dtype=self.dtype, name="norm2")(x))
         return x
+
+    def _use_fused_block(self, c: int) -> bool:
+        import os
+
+        from tpudepth.ops.attention import is_training_trace
+
+        if (jax.default_backend() != "tpu" or is_training_trace()
+                or os.environ.get("TPUDEPTH_BLOCK") == "xla"
+                or self.use_pallas is False):
+            return False
+        from tpudepth.ops.pallas.block_infer import block_infer_available
+
+        return block_infer_available(c, self.num_heads, int(c * self.mlp_ratio))
+
+    def _declare_params(self, x: jax.Array, v: jax.Array):
+        """Declare every block param through the SAME submodule names the
+        unfused path uses (tree equality asserted in tests) and return the
+        raw values for the fused kernel."""
+        b, h, w, c = x.shape
+        ws = self.window_size
+        ln1 = LayerNorm(dtype=self.dtype, name="norm1")(x, params_only=True)
+        lnv = LayerNorm(dtype=self.dtype, name="normv")(v, params_only=True)
+        ap = WindowCrossAttentionQKV(
+            self.dim, self.num_heads, ws, dtype=self.dtype,
+            use_pallas=self.use_pallas, name="attn",
+        )(x.reshape(b, h * w, c), v.reshape(b, h * w, c), params_only=True)
+        ln2 = LayerNorm(dtype=self.dtype, name="norm2")(x, params_only=True)
+        mlp = Mlp(int(c * self.mlp_ratio), c, dtype=self.dtype,
+                  name="mlp")(x, params_only=True)
+        return ln1, lnv, ap, ln2, mlp
+
+    def _fused_block(self, x: jax.Array, v: jax.Array) -> jax.Array:
+        """TPU-inference path: the whole block (LN1/LNv -> q/kv projections ->
+        windowed attention -> proj -> residual -> LN2 -> FFN -> residual) runs
+        as ONE Pallas kernel per window tile (``ops/pallas/block_infer.py``) —
+        only raw windows and the output touch HBM. Params are declared through
+        the same submodules as the unfused path (identical tree)."""
+        from tpudepth.ops.pallas.block_infer import sam_block_infer
+        from tpudepth.ops.window import window_valid_mask
+
+        b, h, w, c = x.shape
+        ws = self.window_size
+        n = ws * ws
+        dt = self.dtype or jnp.promote_types(x.dtype, jnp.float32)
+
+        ln1, lnv, ap, ln2, (w1, b1, w2, b2) = self._declare_params(x, v)
+
+        xp, hp, wp = pad_to_window_multiple(x, ws)
+        vp, _, _ = pad_to_window_multiple(v, ws)
+        xw = window_partition(xp, ws).reshape(-1, n, c).astype(dt)
+        vw = window_partition(vp, ws).reshape(-1, n, c)
+        valid = window_valid_mask(h, w, ws)
+
+        yw = sam_block_infer(
+            xw, vw, ln1, lnv, ap["wq"], ap["bq"], ap["wkv"], ap["bkv"],
+            ap["bias"], ap["wproj"], ap["bproj"], ln2, w1, b1, w2, b2,
+            valid, scale=ap["scale"],
+        )
+        y = window_reverse(yw.reshape(-1, ws, ws, c), ws, hp, wp)
+        return y[:, :h, :w, :]
 
 
 class SAM(nn.Module):

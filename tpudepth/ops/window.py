@@ -88,6 +88,34 @@ def shifted_window_attention_mask(
     return attn_mask
 
 
+@functools.lru_cache(maxsize=None)
+def window_valid_mask(
+    h: int, w: int, window_size: int, shift_size: int = 0
+) -> Optional[np.ndarray]:
+    """[nW, N] 1/0 mask of which window tokens are REAL (not bottom/right
+    padding), after the optional cyclic shift.
+
+    The fused whole-block kernel (``ops/pallas/block_infer.py``) reads RAW
+    padded inputs and runs LayerNorm in VMEM; multiplying the normalized
+    tokens by this mask reproduces the reference's pad-AFTER-LayerNorm
+    semantics exactly (``src/SAM.py:214-219`` pads the normalized tensor, so
+    pad-token keys are ``bias``-only, not ``W @ LN(0)``).
+
+    Returns None when no padding is needed (mask would be all-ones).
+    """
+    ws = window_size
+    hp = int(np.ceil(h / ws)) * ws
+    wp = int(np.ceil(w / ws)) * ws
+    if hp == h and wp == w:
+        return None
+    valid = np.zeros((hp, wp), dtype=np.float32)
+    valid[:h, :w] = 1.0
+    if shift_size:
+        valid = np.roll(valid, (-shift_size, -shift_size), axis=(0, 1))
+    m = valid.reshape(hp // ws, ws, wp // ws, ws)
+    return m.transpose(0, 2, 1, 3).reshape(-1, ws * ws)
+
+
 def pad_to_window_multiple(x: jax.Array, window_size: int) -> Tuple[jax.Array, int, int]:
     """Zero-pad NHWC bottom/right to window multiples (``src/SAM.py:214-219``)."""
     _, h, w, _ = x.shape
