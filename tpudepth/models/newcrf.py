@@ -132,12 +132,16 @@ class CRFBlock(nn.Module):
         return x
 
     def _use_fused_block(self, c: int) -> bool:
+        """Opt-IN (``TPUDEPTH_BLOCK=fused``): correct on-chip (rel-err 8e-3)
+        but measured SLOWER than the default attn+FFN kernel pair — 274.1 vs
+        385.0 img/s @480x640 bs8 — per-window [56,C] dots starve the MXU
+        (PERF.md round 5 quantified negative)."""
         import os
 
         from tpudepth.ops.attention import is_training_trace
 
         if (jax.default_backend() != "tpu" or is_training_trace()
-                or os.environ.get("TPUDEPTH_BLOCK") == "xla"
+                or os.environ.get("TPUDEPTH_BLOCK") != "fused"
                 or self.use_pallas is False):
             return False
         from tpudepth.ops.pallas.block_infer import block_infer_available

@@ -122,12 +122,17 @@ class SAMBlock(nn.Module):
         return x
 
     def _use_fused_block(self, c: int) -> bool:
+        """Opt-IN (``TPUDEPTH_BLOCK=fused``): the whole-block kernel is
+        correct on-chip (rel-err 2e-2 bf16) but measured SLOWER than the
+        default attn+FFN kernel pair — 429.9 vs 542.4 img/s @480x640 bs8 —
+        because per-window [56,C] dots starve the MXU that the flat-layout
+        kernels keep full (PERF.md round 5 quantified negative)."""
         import os
 
         from tpudepth.ops.attention import is_training_trace
 
         if (jax.default_backend() != "tpu" or is_training_trace()
-                or os.environ.get("TPUDEPTH_BLOCK") == "xla"
+                or os.environ.get("TPUDEPTH_BLOCK") != "fused"
                 or self.use_pallas is False):
             return False
         from tpudepth.ops.pallas.block_infer import block_infer_available

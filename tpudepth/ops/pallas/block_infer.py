@@ -30,9 +30,19 @@ fast-variance f32 formula; dots run in the input dtype with f32 accumulation
 tests/test_window_attention.py (CPU interpret) and was verified on-chip.
 
 Inference only (no VJP) — training keeps the fused-backward attention kernel
-pair + ``mlp_train``; dispatch in ``models/sam.py`` / ``models/newcrf.py``
-keys off ``tpudepth.ops.attention.is_training_trace()``; ``TPUDEPTH_BLOCK=xla``
-opts out.
+pair + ``mlp_train``.
+
+MEASURED OUTCOME (round 5, v5e chip, 480x640 bs8): correct (rel-max-err
+SAM 2.0e-2 / NewCRF 7.8e-3 vs unfused, bf16-consistent) but SLOWER than the
+round-4 attn+FFN kernel pair — SAM 429.9 vs 542.4, NewCRF 274.1 vs 385.0
+img/s. The byte cut is real, but every projection/FFN dot here runs per
+window on [56, C] operands (M=56 of the MXU's 128 rows, and Mosaic lowers
+the [T, N, C] x [C, K] contraction window-by-window), while the round-4
+kernels keep projections in flat [rows, C] layout with full-height MXU
+tiles: the fused block trades a bandwidth win for a larger compute loss.
+Kept as an opt-in (``TPUDEPTH_BLOCK=fused``) quantified negative —
+dispatch in ``models/sam.py`` / ``models/newcrf.py`` defaults to the kernel
+pair (PERF.md round 5).
 """
 
 from __future__ import annotations
@@ -114,7 +124,7 @@ def _sam_kernel(x_ref, v_ref, ln1s, ln1b, lnvs, lnvb, wq, bq, wkv, bkv,
     xn = _ln(xf, ln1s, ln1b)
     vn = _ln(v_ref[:].astype(jnp.float32), lnvs, lnvb)
     if valid_ref is not None:
-        val = valid_ref[:].astype(jnp.float32)[:, :, None]
+        val = valid_ref[:].astype(jnp.float32)  # [T, N, 1]
         xn = xn * val
         vn = vn * val
     q = (_proj(xn.astype(dt), wq, bq, prec) * scale).astype(dt)
@@ -148,7 +158,7 @@ def _crf_kernel(x_ref, v_ref, ln1s, ln1b, wqk, bqk, bias_ref, wproj, bproj,
     xf = x_ref[:].astype(jnp.float32)
     xn = _ln(xf, ln1s, ln1b)
     if valid_ref is not None:
-        xn = xn * valid_ref[:].astype(jnp.float32)[:, :, None]
+        xn = xn * valid_ref[:].astype(jnp.float32)  # [T, N, 1]
     qk = _proj(xn.astype(dt), wqk, bqk, prec)  # [T, N, 2C] f32
     q = (jax.lax.slice_in_dim(qk, 0, c, axis=2) * scale).astype(dt)
     k = jax.lax.slice_in_dim(qk, c, 2 * c, axis=2).astype(dt)
@@ -166,10 +176,10 @@ def _pick_tile(bw: int, nw: int, c: int, hidden: int,
     """Largest window tile dividing bw (and the mask/valid period nw when
     present) under a VMEM budget: ~10 f32 [N_pad, C]-ish planes + the two
     [N_pad, 2C]/[N_pad, hidden] wide tensors per window (N=49 pads to 56
-    sublanes), after the resident weights."""
-    resident = (c * c * 2 + c * 2 * c * 2 + 2 * c * hidden) * 4  # generous f32
+    sublanes), after the resident weights (bf16 in production)."""
+    resident = (4 * c * c + 2 * c * hidden) * 2  # q/kv(or qk)/proj + FFN, dt
     per_window = 56 * (10 * c + 2 * 2 * c + 2 * hidden) * 4
-    cap = max(1, min(128, (budget - resident) // per_window))
+    cap = max(1, min(128, max(0, budget - resident) // per_window))
     t = 1
     for cand in range(1, cap + 1):
         if bw % cand == 0 and (nw % cand == 0 if nw else True):
@@ -240,8 +250,11 @@ def sam_block_infer(
                 _specs_1d(hidden), full2d(hidden, c), _specs_1d(c)]
     if valid is not None:
         nblocks = nw // t
-        inputs.append(jnp.asarray(valid))
-        in_specs.append(pl.BlockSpec((t, n), lambda i: (i % nblocks, 0),
+        # [nW, N, 1]: Mosaic's last-two-dims rule forbids a (t<8, N) block on
+        # a [nW, N] array; a trailing size-1 lane dim keeps both legal AND
+        # broadcasts directly against [T, N, C] in-kernel.
+        inputs.append(jnp.asarray(valid)[:, :, None])
+        in_specs.append(pl.BlockSpec((t, n, 1), lambda i: (i % nblocks, 0, 0),
                                      memory_space=pltpu.VMEM))
     flops = 2 * bw * n * c * (c + 2 * c + c + 2 * hidden) \
         + 4 * bw * heads * n * n * (c // heads)
@@ -312,8 +325,8 @@ def crf_block_infer(
         in_specs.append(pl.BlockSpec((t, n, n), lambda i: (i % nblocks, 0, 0),
                                      memory_space=pltpu.VMEM))
     if valid is not None:
-        inputs.append(jnp.asarray(valid))
-        in_specs.append(pl.BlockSpec((t, n), lambda i: (i % nblocks, 0),
+        inputs.append(jnp.asarray(valid)[:, :, None])  # see sam_block_infer
+        in_specs.append(pl.BlockSpec((t, n, 1), lambda i: (i % nblocks, 0, 0),
                                      memory_space=pltpu.VMEM))
     flops = 2 * bw * n * c * (2 * c + c + 2 * hidden) \
         + 4 * bw * heads * n * n * (c // heads)
