@@ -208,3 +208,58 @@ def test_dp_x_spatial_attention_train_step_invariance():
     assert abs(l1[0] - l2[0]) < 1e-5, (l1[0], l2[0])
     assert abs(n1 - n2) / n1 < 0.1, (n1, n2)
     assert l1[2] < l1[0] and l2[2] < l2[0], (l1, l2)
+
+
+@pytest.mark.slow
+def test_highres_960x1280_dp_x_spatial_invariance():
+    """Resolution-scaling demonstration (VERDICT r4 item 10): the spatial
+    axis is the context-parallel analogue (SURVEY.md §2c), so it must hold
+    at RESOLUTIONS BEYOND the reference's operating points, not just test
+    shapes. 960x1280 = 2x the reference's full resolution in each dimension:
+    forward AND one train-step loss must match the unsharded run on a
+    (2 data x 4 model) mesh (H/device = 240 >> min_spatial_height)."""
+    import optax
+
+    from tpudepth.models.registry import init_model
+    from tpudepth.train.trainer import LossRecipe, TrainState, make_train_step
+
+    mesh = create_mesh(num_data=2, num_model=4)
+    model = build_model("GuideDepth-S")
+    rng = np.random.default_rng(0)
+    x = rng.random((2, 960, 1280, 3)).astype(np.float32)
+    y = (rng.random((2, 960, 1280, 1)) * 0.9 + 0.05).astype(np.float32)
+    variables = jax.device_get(
+        init_model(model, jax.random.PRNGKey(0), jnp.asarray(x[:1])))
+
+    fwd = jax.jit(lambda v, im: model.apply(v, im, train=False))
+    rep_vars = jax.device_put(variables, replicated(mesh))
+    want = np.asarray(fwd(rep_vars,
+                          jax.device_put(jnp.asarray(x), replicated(mesh))))
+    sh = NamedSharding(mesh, P("data", "model"))
+    got = np.asarray(fwd(rep_vars, jax.device_put(jnp.asarray(x), sh)))
+    assert want.shape == (2, 960, 1280, 1)
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+
+    # one train step per input sharding: first-step loss equality
+    losses = []
+    for spec in (replicated(mesh), sh):
+        tx = optax.sgd(1e-3)
+        params = jax.tree_util.tree_map(jnp.asarray, variables["params"])
+        state = TrainState(
+            step=jnp.zeros((), jnp.int32),
+            params=params,
+            batch_stats=variables.get("batch_stats", {}),
+            opt_state=tx.init(params),
+            tx=tx,
+            apply_fn=model.apply,
+        )
+        state = jax.device_put(state, replicated(mesh))
+        step = make_train_step(
+            model, LossRecipe(kind="alhashim", max_depth=10.0,
+                              depth_scale=10.0),
+            compute_dtype=jnp.float32, augment=False, mesh=mesh)
+        _, loss = step(state, jax.device_put(jnp.asarray(x), spec),
+                       jax.device_put(jnp.asarray(y), spec),
+                       jax.random.PRNGKey(2))
+        losses.append(float(loss))
+    np.testing.assert_allclose(losses[1], losses[0], rtol=1e-5, atol=1e-6)

@@ -401,3 +401,86 @@ class TestFusedBlockKernels:
             y_fused = blk.apply(variables, x, v)
             np.testing.assert_allclose(np.asarray(y_fused), np.asarray(y_ref),
                                        rtol=3e-5, atol=3e-5)
+
+
+class TestFusedEpilogueKernel:
+    """ops/pallas/epilogue_infer: flat-row block-tail kernel (proj + residual
+    + LN2 + FFN + residual). Exactness vs the explicit composition and vs the
+    unfused module path (forced dispatch), plus param-tree equality."""
+
+    def test_kernel_matches_explicit_composition(self):
+        from tpudepth.ops.pallas.epilogue_infer import block_epilogue_infer
+
+        m, c, hidden = 520, 32, 128
+        rng = np.random.default_rng(3)
+        o = jnp.asarray(rng.normal(size=(m, c)), jnp.float32)
+        x = jnp.asarray(rng.normal(size=(m, c)), jnp.float32)
+        wp = jnp.asarray(rng.normal(size=(c, c)) * 0.1, jnp.float32)
+        bp = jnp.asarray(rng.normal(size=(c,)) * 0.1, jnp.float32)
+        lns = jnp.asarray(rng.normal(size=(c,)) * 0.2 + 1.0, jnp.float32)
+        lnb = jnp.asarray(rng.normal(size=(c,)) * 0.1, jnp.float32)
+        w1 = jnp.asarray(rng.normal(size=(c, hidden)) * 0.1, jnp.float32)
+        b1 = jnp.asarray(rng.normal(size=(hidden,)) * 0.1, jnp.float32)
+        w2 = jnp.asarray(rng.normal(size=(hidden, c)) * 0.1, jnp.float32)
+        b2 = jnp.asarray(rng.normal(size=(c,)) * 0.1, jnp.float32)
+
+        hi = jax.lax.Precision.HIGHEST
+        z = jnp.dot(o, wp, precision=hi) + bp
+        y = x + z
+        mu = jnp.mean(y, axis=-1, keepdims=True)
+        var = jnp.mean(jnp.square(y - mu), axis=-1, keepdims=True)
+        yn = (y - mu) * jax.lax.rsqrt(var + 1e-5) * lns + lnb
+        h = jnp.dot(yn, w1, precision=hi) + b1
+        g = jax.nn.gelu(h, approximate=False)
+        ref = y + jnp.dot(g, w2, precision=hi) + b2
+
+        got = block_epilogue_infer(o, x, wp, bp, lns, lnb, w1, b1, w2, b2,
+                                   interpret=True)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   rtol=2e-5, atol=2e-5)
+
+    def test_epilogue_dispatch_and_param_tree_match_unfused(self, monkeypatch):
+        """Force the epilogue dispatch (interpret-mode kernel) through the
+        REAL block __call__ glue; outputs and the full param tree must match
+        the unfused path."""
+        import functools
+
+        import tpudepth.models.newcrf as crf_mod
+        import tpudepth.models.sam as sam_mod
+        import tpudepth.ops.pallas.epilogue_infer as ei
+
+        rng = np.random.default_rng(4)
+        x = jnp.asarray(rng.normal(size=(4, 10, 13, 32)), jnp.float32)
+        v = jnp.asarray(rng.normal(size=(4, 10, 13, 32)), jnp.float32)
+        cases = [
+            (sam_mod.SAMBlock, dict(dim=32, num_heads=4, window_size=7)),
+            (crf_mod.CRFBlock, dict(dim=32, num_heads=4, window_size=7,
+                                    shift_size=3)),
+        ]
+        refs = []
+        for cls, kw in cases:
+            blk = cls(**kw)
+            variables = blk.init(jax.random.PRNGKey(9), x, v)
+            refs.append((blk, variables, blk.apply(variables, x, v)))
+
+        monkeypatch.setattr(sam_mod.SAMBlock, "_use_fused_epilogue",
+                            lambda self, m, c: True)
+        monkeypatch.setattr(crf_mod.CRFBlock, "_use_fused_epilogue",
+                            lambda self, m, c: True)
+        monkeypatch.setattr(ei, "block_epilogue_infer",
+                            functools.partial(ei.block_epilogue_infer,
+                                              interpret=True))
+
+        for blk, variables, y_ref in refs:
+            fused_vars = blk.init(jax.random.PRNGKey(9), x, v)
+            ref_flat = jax.tree_util.tree_flatten_with_path(
+                variables["params"])[0]
+            alt_flat = jax.tree_util.tree_flatten_with_path(
+                fused_vars["params"])[0]
+            assert [k for k, _ in ref_flat] == [k for k, _ in alt_flat], blk
+            for (ka, a), (_, bb) in zip(ref_flat, alt_flat):
+                np.testing.assert_array_equal(np.asarray(a), np.asarray(bb),
+                                              err_msg=str(ka))
+            y_fused = blk.apply(variables, x, v)
+            np.testing.assert_allclose(np.asarray(y_fused), np.asarray(y_ref),
+                                       rtol=3e-5, atol=3e-5)

@@ -42,6 +42,7 @@ class WindowAttentionQKfromX(nn.Module):
     def __call__(
         self, x_windows: jax.Array, v_windows: jax.Array,
         mask: Optional[jax.Array] = None, params_only: bool = False,
+        skip_proj: bool = False,
     ):
         bw, n, c = x_windows.shape
         heads = self.num_heads
@@ -76,6 +77,12 @@ class WindowAttentionQKfromX(nn.Module):
         out = window_cross_attention_packed(
             q, k, v_windows, bias, mask, use_pallas=self.use_pallas
         )
+        if skip_proj:
+            # fused-epilogue path: the out-projection runs inside the block's
+            # tail kernel; declare its params through the same "proj" child.
+            from tpudepth.models.layers import _DenseParams
+
+            return out, _DenseParams(c, name="proj")(c)
         return nn.Dense(c, dtype=self.dtype, param_dtype=jnp.float32, name="proj")(out)
 
 
@@ -115,21 +122,56 @@ class CRFBlock(nn.Module):
         xw = window_partition(xn, ws).reshape(-1, ws * ws, c)
         vw = window_partition(vp, ws).reshape(-1, ws * ws, c)
 
+        use_epi = self._use_fused_epilogue(b * h * w, c)
         attn = WindowAttentionQKfromX(
             self.dim, self.num_heads, ws, dtype=self.dtype,
             use_pallas=self.use_pallas, name="attn",
-        )(xw, vw, mask)
+        )(xw, vw, mask, skip_proj=use_epi)
+        if use_epi:
+            attn, (wproj, bproj) = attn
 
         attn = window_reverse(attn.reshape(-1, ws, ws, c), ws, hp, wp)
         if ss > 0:
             attn = jnp.roll(attn, shift=(ss, ss), axis=(1, 2))
         attn = attn[:, :h, :w, :]
 
+        if use_epi:
+            # proj + residual + LN2 + FFN + residual in one flat-row kernel
+            # (ops/pallas/epilogue_infer.py); proj after reverse/unroll/crop
+            # is value-identical to the unfused proj-on-windows order.
+            from tpudepth.ops.pallas.epilogue_infer import block_epilogue_infer
+
+            ln2 = LayerNorm(dtype=self.dtype, name="norm2")(x, params_only=True)
+            w1, b1, w2, b2 = Mlp(int(c * self.mlp_ratio), c, dtype=self.dtype,
+                                 name="mlp")(x, params_only=True)
+            out = block_epilogue_infer(
+                attn.reshape(b * h * w, c),
+                shortcut.reshape(b * h * w, c).astype(attn.dtype),
+                wproj, bproj, ln2[0], ln2[1], w1, b1, w2, b2)
+            return out.reshape(b, h, w, c)
+
         x = shortcut + attn
         x = x + Mlp(
             int(c * self.mlp_ratio), c, dtype=self.dtype, name="mlp"
         )(LayerNorm(dtype=self.dtype, name="norm2")(x))
         return x
+
+    def _use_fused_epilogue(self, m: int, c: int) -> bool:
+        """Default-on for TPU eval: the flat-row block-tail kernel
+        (``ops/pallas/epilogue_infer.py``) — proj + residual + LN2 + FFN +
+        residual with every intermediate in VMEM, full-height MXU tiles.
+        ``TPUDEPTH_EPILOGUE=xla`` opts out."""
+        import os
+
+        from tpudepth.ops.attention import is_training_trace
+
+        if (jax.default_backend() != "tpu" or is_training_trace()
+                or os.environ.get("TPUDEPTH_EPILOGUE") == "xla"
+                or self.use_pallas is False):
+            return False
+        from tpudepth.ops.pallas.epilogue_infer import epilogue_available
+
+        return epilogue_available(m, c, int(c * self.mlp_ratio))
 
     def _use_fused_block(self, c: int) -> bool:
         """Opt-IN (``TPUDEPTH_BLOCK=fused``): correct on-chip (rel-err 8e-3)
