@@ -26,7 +26,10 @@ means the hardware bound, not a soft baseline, is what limits the number.
 at logical size), which UNDERestimates the bound — so the field can read
 slightly above 1.0 and should be read as "at the roofline", not as
 headroom. The xplane-measured utilization (PERF.md) is the honest figure;
-this field is the automated per-run proxy.
+this field is the automated per-run proxy. The TIME side of the protocol is
+device-true: an xplane per-op profile of the NewCRF eval step sums to within
+0.7% of the scan-differential measurement (PERF.md round 5) — only the
+cost-analysis BYTE denominator is approximate.
 """
 
 import functools
