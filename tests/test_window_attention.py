@@ -403,6 +403,127 @@ class TestFusedBlockKernels:
                                        rtol=3e-5, atol=3e-5)
 
 
+class TestRowBlockKernel:
+    """ops/pallas/rowblock_infer: window-ROW whole-block inference kernels —
+    spatial image-layout blocks (no HBM partition/reverse), flat full-height
+    projections, in-VMEM windowize relayout (PERF.md round 5)."""
+
+    def _mk(self, seed, b=2, h=10, w=13, c=32):
+        import numpy as np
+
+        rng = np.random.default_rng(seed)
+        x = jnp.asarray(rng.normal(size=(b, h, w, c)), jnp.float32)
+        v = jnp.asarray(rng.normal(size=(b, h, w, c)), jnp.float32)
+        return x, v
+
+    @pytest.mark.parametrize("ss", [0, 3])
+    def test_crf_rowblock_matches_module(self, ss):
+        """Direct kernel call (interpret) vs the unfused CRFBlock module at a
+        geometry that pads in both H and W (10x13 -> 14x14)."""
+        import numpy as np
+
+        from tpudepth.models.newcrf import CRFBlock
+        from tpudepth.ops.pallas.rowblock_infer import crf_rowblock_infer
+        from tpudepth.ops.window import (
+            pad_to_window_multiple, relative_position_index,
+            shifted_window_attention_mask)
+
+        heads, ws = 4, 7
+        x, v = self._mk(11)
+        b, h, w, c = x.shape
+        blk = CRFBlock(dim=c, num_heads=heads, window_size=ws, shift_size=ss)
+        variables = blk.init(jax.random.PRNGKey(0), x, v)
+        y_ref = blk.apply(variables, x, v)
+
+        p = variables["params"]
+        n = ws * ws
+        idx = relative_position_index(ws).reshape(-1)
+        bias = p["attn"]["relative_position_bias_table"][idx].reshape(
+            n, n, heads).transpose(2, 0, 1)
+        args = (
+            (p["norm1"]["LayerNorm_0"]["scale"], p["norm1"]["LayerNorm_0"]["bias"]),
+            p["attn"]["qk"]["kernel"], p["attn"]["qk"]["bias"], bias,
+            p["attn"]["proj"]["kernel"], p["attn"]["proj"]["bias"],
+            (p["norm2"]["LayerNorm_0"]["scale"], p["norm2"]["LayerNorm_0"]["bias"]),
+            p["mlp"]["fc1"]["kernel"], p["mlp"]["fc1"]["bias"],
+            p["mlp"]["fc2"]["kernel"], p["mlp"]["fc2"]["bias"],
+        )
+        scale = (c // heads) ** -0.5
+        if ss:
+            xp, hp, wp = pad_to_window_multiple(x, ws)
+            vp, _, _ = pad_to_window_multiple(v, ws)
+            xr = jnp.roll(xp, (-ss, -ss), axis=(1, 2))
+            vr = jnp.roll(vp, (-ss, -ss), axis=(1, 2))
+            mask = jnp.asarray(shifted_window_attention_mask(h, w, ws, ss))
+            yr = crf_rowblock_infer(xr, vr, *args, mask, scale=scale,
+                                    valid_hw=(h, w, ss), interpret=True)
+            y_k = jnp.roll(yr, (ss, ss), axis=(1, 2))[:, :h, :w, :]
+        else:
+            xp, _, _ = pad_to_window_multiple(x, ws)
+            vp, _, _ = pad_to_window_multiple(v, ws)
+            y_k = crf_rowblock_infer(xp, vp, *args, None, scale=scale,
+                                     valid_hw=(h, w, 0),
+                                     interpret=True)[:, :h, :w, :]
+        np.testing.assert_allclose(np.asarray(y_k), np.asarray(y_ref),
+                                   rtol=3e-5, atol=3e-5)
+
+    def test_rowblock_dispatch_glue_and_param_tree_match_unfused(
+            self, monkeypatch):
+        """Force the row-block dispatch (interpret-mode kernels) through the
+        REAL ``_rowblock`` glue: param tree equality (structure, shapes AND
+        init values) and output parity vs the unfused path — for SAM and for
+        both CRF shift variants."""
+        import functools
+
+        import numpy as np
+
+        import tpudepth.models.newcrf as crf_mod
+        import tpudepth.models.sam as sam_mod
+        import tpudepth.ops.pallas.rowblock_infer as rbi
+
+        x, v = self._mk(12, b=1)
+        cases = [
+            (sam_mod.SAMBlock, dict(dim=32, num_heads=4, window_size=7)),
+            (crf_mod.CRFBlock, dict(dim=32, num_heads=4, window_size=7,
+                                    shift_size=0)),
+            (crf_mod.CRFBlock, dict(dim=32, num_heads=4, window_size=7,
+                                    shift_size=3)),
+        ]
+        refs = []
+        for cls, kw in cases:
+            blk = cls(**kw)
+            variables = blk.init(jax.random.PRNGKey(7), x, v)
+            refs.append((blk, variables, blk.apply(variables, x, v)))
+
+        monkeypatch.setattr(sam_mod.SAMBlock, "_use_rowblock",
+                            lambda self, c, w: True)
+        monkeypatch.setattr(crf_mod.CRFBlock, "_use_rowblock",
+                            lambda self, c, w: True)
+        monkeypatch.setattr(crf_mod, "crf_rowblock_infer",
+                            functools.partial(rbi.crf_rowblock_infer,
+                                              interpret=True), raising=False)
+        monkeypatch.setattr(rbi, "crf_rowblock_infer",
+                            functools.partial(rbi.crf_rowblock_infer,
+                                              interpret=True))
+        monkeypatch.setattr(rbi, "sam_rowblock_infer",
+                            functools.partial(rbi.sam_rowblock_infer,
+                                              interpret=True))
+
+        for blk, variables, y_ref in refs:
+            fused_vars = blk.init(jax.random.PRNGKey(7), x, v)
+            ref_flat = jax.tree_util.tree_flatten_with_path(
+                variables["params"])[0]
+            alt_flat = jax.tree_util.tree_flatten_with_path(
+                fused_vars["params"])[0]
+            assert [k for k, _ in ref_flat] == [k for k, _ in alt_flat], blk
+            for (ka, a), (_, bb) in zip(ref_flat, alt_flat):
+                np.testing.assert_array_equal(np.asarray(a), np.asarray(bb),
+                                              err_msg=str(ka))
+            y_fused = blk.apply(variables, x, v)
+            np.testing.assert_allclose(np.asarray(y_fused), np.asarray(y_ref),
+                                       rtol=3e-5, atol=3e-5)
+
+
 class TestFusedEpilogueKernel:
     """ops/pallas/epilogue_infer: flat-row block-tail kernel (proj + residual
     + LN2 + FFN + residual). Exactness vs the explicit composition and vs the

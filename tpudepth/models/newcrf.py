@@ -102,6 +102,8 @@ class CRFBlock(nn.Module):
         b, h, w, c = x.shape
         ws, ss = self.window_size, self.shift_size
 
+        if self._use_rowblock(c, w):
+            return self._rowblock(x, v)
         if self._use_fused_block(c):
             return self._fused_block(x, v)
 
@@ -189,6 +191,60 @@ class CRFBlock(nn.Module):
         from tpudepth.ops.pallas.block_infer import block_infer_available
 
         return block_infer_available(c, self.num_heads, int(c * self.mlp_ratio))
+
+    def _use_rowblock(self, c: int, w: int) -> bool:
+        """Window-ROW whole-block kernel (``ops/pallas/rowblock_infer.py``):
+        reads window rows straight out of the image layout (no HBM
+        partition/reverse copies) while keeping projections/FFN on flat
+        full-height MXU tiles. Opt-in via ``TPUDEPTH_BLOCK=row`` pending
+        on-chip A/B (PERF.md round 5)."""
+        import os
+
+        from tpudepth.ops.attention import is_training_trace
+
+        if (jax.default_backend() != "tpu" or is_training_trace()
+                or os.environ.get("TPUDEPTH_BLOCK") != "row"
+                or self.use_pallas is False):
+            return False
+        from tpudepth.ops.pallas.rowblock_infer import (
+            _roundup, rowblock_available)
+
+        return rowblock_available(c, self.num_heads, int(c * self.mlp_ratio),
+                                  _roundup(w, self.window_size))
+
+    def _rowblock(self, x: jax.Array, v: jax.Array) -> jax.Array:
+        """TPU-inference path: the whole CRF block as one window-row kernel.
+        Shifted blocks keep the XLA pad+roll/unroll copies (wrap-around is
+        not expressible as a block index map); everything else reads/writes
+        the raw image layout directly."""
+        from tpudepth.ops.pallas.rowblock_infer import crf_rowblock_infer
+
+        b, h, w, c = x.shape
+        ws, ss = self.window_size, self.shift_size
+        dt = self.dtype or jnp.promote_types(x.dtype, jnp.float32)
+
+        ln1, ap, ln2, (w1, b1, w2, b2) = self._declare_params(x, v)
+        x = x.astype(dt)
+        v = v.astype(dt)
+
+        if ss > 0:
+            xp, hp, wp = pad_to_window_multiple(x, ws)
+            vp, _, _ = pad_to_window_multiple(v, ws)
+            xr = jnp.roll(xp, (-ss, -ss), axis=(1, 2))
+            vr = jnp.roll(vp, (-ss, -ss), axis=(1, 2))
+            mask = jnp.asarray(shifted_window_attention_mask(h, w, ws, ss))
+            yr = crf_rowblock_infer(
+                xr, vr, ln1, ap["wqk"], ap["bqk"], ap["bias"], ap["wproj"],
+                ap["bproj"], ln2, w1, b1, w2, b2, mask, scale=ap["scale"],
+                window_size=ws, valid_hw=(h, w, ss))
+            return jnp.roll(yr, (ss, ss), axis=(1, 2))[:, :h, :w, :]
+        xp, hp, wp = pad_to_window_multiple(x, ws)
+        vp, _, _ = pad_to_window_multiple(v, ws)
+        y = crf_rowblock_infer(
+            xp, vp, ln1, ap["wqk"], ap["bqk"], ap["bias"], ap["wproj"],
+            ap["bproj"], ln2, w1, b1, w2, b2, None, scale=ap["scale"],
+            window_size=ws, valid_hw=(h, w, 0))
+        return y[:, :h, :w, :]
 
     def _declare_params(self, x: jax.Array, v: jax.Array):
         """Declare every block param through the SAME submodule names the

@@ -100,6 +100,8 @@ class SAMBlock(nn.Module):
         b, h, w, c = x.shape
         ws = self.window_size
 
+        if self._use_rowblock(c, w):
+            return self._rowblock(x, v)
         if self._use_fused_block(c):
             return self._fused_block(x, v)
 
@@ -180,6 +182,44 @@ class SAMBlock(nn.Module):
         from tpudepth.ops.pallas.block_infer import block_infer_available
 
         return block_infer_available(c, self.num_heads, int(c * self.mlp_ratio))
+
+    def _use_rowblock(self, c: int, w: int) -> bool:
+        """Window-ROW whole-block kernel (``ops/pallas/rowblock_infer.py``):
+        image-layout spatial blocks (no HBM partition/reverse copies) with
+        flat full-height projections. Opt-in via ``TPUDEPTH_BLOCK=row``
+        pending on-chip A/B (PERF.md round 5)."""
+        import os
+
+        from tpudepth.ops.attention import is_training_trace
+
+        if (jax.default_backend() != "tpu" or is_training_trace()
+                or os.environ.get("TPUDEPTH_BLOCK") != "row"
+                or self.use_pallas is False):
+            return False
+        from tpudepth.ops.pallas.rowblock_infer import (
+            _roundup, rowblock_available)
+
+        return rowblock_available(c, self.num_heads, int(c * self.mlp_ratio),
+                                  _roundup(w, self.window_size))
+
+    def _rowblock(self, x: jax.Array, v: jax.Array) -> jax.Array:
+        """TPU-inference path: the whole SAM block as one window-row kernel
+        reading/writing the raw unpadded image layout (no pad, partition,
+        reverse, or crop copies at all — SAM windows are never shifted)."""
+        from tpudepth.ops.pallas.rowblock_infer import sam_rowblock_infer
+
+        b, h, w, c = x.shape
+        ws = self.window_size
+        dt = self.dtype or jnp.promote_types(x.dtype, jnp.float32)
+        ln1, lnv, ap, ln2, (w1, b1, w2, b2) = self._declare_params(x, v)
+        xp, hp, wp = pad_to_window_multiple(x.astype(dt), ws)
+        vp, _, _ = pad_to_window_multiple(v.astype(dt), ws)
+        y = sam_rowblock_infer(
+            xp, vp, ln1, lnv, ap["wq"], ap["bq"],
+            ap["wkv"], ap["bkv"], ap["bias"], ap["wproj"], ap["bproj"],
+            ln2, w1, b1, w2, b2, scale=ap["scale"], window_size=ws,
+            valid_hw=(h, w))
+        return y[:, :h, :w, :]
 
     def _declare_params(self, x: jax.Array, v: jax.Array):
         """Declare every block param through the SAME submodule names the

@@ -29,18 +29,38 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
+#: Chebyshev-interpolated coefficients (power basis in the SCALED variable
+#: t = 2*z*z/B^2 - 1, B = 3.9375; power-basis Horner in raw z^2 is
+#: catastrophically ill-conditioned in f32 at this degree) of erf(z)/z,
+#: degree 16. f32-evaluated max abs error 2.1e-7 over all z; erf saturates
+#: to +-1 within 2.6e-8 at the clamp boundary.
+_ERF_COEF = (3.5913577732e-01, -1.7932530043e-01, 1.3355388746e-01,
+             -1.0886771484e-01, 9.0550457025e-02, -7.4167896060e-02,
+             5.8572264281e-02, -4.4128607978e-02, 3.1153511247e-02,
+             -2.0077809386e-02, 1.2643683187e-02, -8.5512452514e-03,
+             4.5126567157e-03, -1.0665787938e-03, 6.3636799682e-04,
+             -1.0203042461e-03, 4.1510098659e-04)
+_ERF_CLAMP = 3.9375
+_ERF_TSCALE = 0.1289997480473671  # 2 / B^2
+
+
 def _erf(x):
-    """Abramowitz & Stegun 7.1.26 rational erf, max abs error 1.5e-7 —
-    Mosaic has no erf/erfc primitive (NotImplementedError on lowering), and
-    1.5e-7 is below bf16 resolution of the GELU inputs this kernel sees."""
-    a1, a2, a3, a4, a5 = (0.254829592, -0.284496736, 1.421413741,
-                          -1.453152027, 1.061405429)
-    p = 0.3275911
-    ax = jnp.abs(x)
-    t = 1.0 / (1.0 + p * ax)
-    poly = ((((a5 * t + a4) * t + a3) * t + a2) * t + a1) * t
-    y = 1.0 - poly * jnp.exp(-ax * ax)
-    return jnp.sign(x) * y
+    """Polynomial erf: z * P(2*z^2/B^2 - 1) with z clamped to [-B, B].
+
+    Mosaic has no erf/erfc primitive (NotImplementedError on lowering). The
+    round-4 kernels used the Abramowitz & Stegun 7.1.26 rational form (max
+    err 1.5e-7), but its exp() and divide dominate the VPU cost of the
+    GELU-heavy epilogue kernels, which xplane attribution measured
+    transcendental-bound (PERF.md round 5: the two stage-0 NewCRF epilogue
+    kernels evaluate 78M erfs each). This odd-polynomial form is pure
+    FMA + one clamp — no exp, no divide — at the same accuracy (max abs
+    error 2.1e-7, f32-evaluated)."""
+    z = jnp.clip(x, -_ERF_CLAMP, _ERF_CLAMP)
+    t = z * z * jnp.float32(_ERF_TSCALE) - 1.0
+    p = jnp.float32(_ERF_COEF[-1])
+    for c in _ERF_COEF[-2::-1]:
+        p = p * t + jnp.float32(c)
+    return z * p
 
 
 def _gelu_exact(x):
