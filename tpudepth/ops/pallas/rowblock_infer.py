@@ -142,10 +142,14 @@ def _crf_kernel(x_ref, v_ref, valid_ref, ln1s, ln1b, wqk, bqk, bias_ref,
     dt = x_ref.dtype
     prec = None if dt == jnp.bfloat16 else jax.lax.Precision.HIGHEST
 
-    valid = valid_ref[:].reshape(m, 1)  # [M, 1] f32 1/0
-    vb = valid > 0.0
-    x = jnp.where(vb, x_ref[0].reshape(m, c), jnp.zeros((), dt))
-    vv = jnp.where(vb, v_ref[0].reshape(m, c), jnp.zeros((), v_ref.dtype))
+    # [M, 1] f32 1/0; multiplicative lane-broadcast only (Mosaic has no
+    # `where` lane broadcast). Inputs are genuinely zero-padded by the
+    # caller, so LN(0-row) = bias and the multiply restores the exact-zero
+    # pad tokens the reference's pad-after-LN produces; raw v pads are
+    # already exactly zero.
+    valid = valid_ref[:].reshape(m, 1)
+    x = x_ref[0].reshape(m, c)
+    vv = v_ref[0].reshape(m, c)
 
     xf = x.astype(jnp.float32)
     xn = _ln(xf, ln1s, ln1b) * valid  # pad tokens exactly 0 pre-projection
@@ -172,10 +176,9 @@ def _sam_kernel(x_ref, v_ref, valid_ref, ln1s, ln1b, lnvs, lnvb, wq, bq,
     dt = x_ref.dtype
     prec = None if dt == jnp.bfloat16 else jax.lax.Precision.HIGHEST
 
-    valid = valid_ref[:].reshape(m, 1)
-    vb = valid > 0.0
-    x = jnp.where(vb, x_ref[0].reshape(m, c), jnp.zeros((), dt))
-    vv = jnp.where(vb, v_ref[0].reshape(m, c), jnp.zeros((), v_ref.dtype))
+    valid = valid_ref[:].reshape(m, 1)  # see _crf_kernel note
+    x = x_ref[0].reshape(m, c)
+    vv = v_ref[0].reshape(m, c)
 
     xf = x.astype(jnp.float32)
     xn = _ln(xf, ln1s, ln1b) * valid
