@@ -196,14 +196,16 @@ class CRFBlock(nn.Module):
         """Window-ROW whole-block kernel (``ops/pallas/rowblock_infer.py``):
         reads window rows straight out of the image layout (no HBM
         partition/reverse copies) while keeping projections/FFN on flat
-        full-height MXU tiles. Opt-in via ``TPUDEPTH_BLOCK=row`` pending
-        on-chip A/B (PERF.md round 5)."""
+        full-height MXU tiles. DEFAULT for NewCRF TPU eval — on-chip A/B
+        measured 479.8 vs 409.1 img/s @480x640 bs8 for the round-4/5
+        attn+epilogue kernel pair (PERF.md round 5). ``TPUDEPTH_BLOCK=pair``
+        (or ``fused``) opts out."""
         import os
 
         from tpudepth.ops.attention import is_training_trace
 
         if (jax.default_backend() != "tpu" or is_training_trace()
-                or os.environ.get("TPUDEPTH_BLOCK") != "row"
+                or os.environ.get("TPUDEPTH_BLOCK", "row") != "row"
                 or self.use_pallas is False):
             return False
         from tpudepth.ops.pallas.rowblock_infer import (

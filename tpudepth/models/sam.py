@@ -186,8 +186,12 @@ class SAMBlock(nn.Module):
     def _use_rowblock(self, c: int, w: int) -> bool:
         """Window-ROW whole-block kernel (``ops/pallas/rowblock_infer.py``):
         image-layout spatial blocks (no HBM partition/reverse copies) with
-        flat full-height projections. Opt-in via ``TPUDEPTH_BLOCK=row``
-        pending on-chip A/B (PERF.md round 5)."""
+        flat full-height projections. Opt-IN for SAM (``TPUDEPTH_BLOCK=row``)
+        — the on-chip A/B measured 576.3 vs the kernel pair's 585.1 img/s
+        @480x640 bs8: SAM has no shifted blocks, so the copies the row
+        kernel removes are smaller than its windowize-relayout cost
+        (PERF.md round 5; NewCRF, where shifts double the copy traffic,
+        defaults to row)."""
         import os
 
         from tpudepth.ops.attention import is_training_trace
