@@ -18,7 +18,12 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
-def scan_step_time(run_k, carry0, key, k1=2, k2=10):
+def scan_step_time(run_k, carry0, key, k1=2, k2=10, reps=3):
+    """Scan-differential device time with outlier protection: each k is
+    timed `reps` times and the MINIMUM is differenced. A single timed fetch
+    is vulnerable to one-off tunnel hiccups in T(k1), which INFLATE the
+    differential (observed: a 479.8 img/s single-shot reading against a
+    404-409 device-true xplane/min-of-3 value — PERF.md round 5)."""
     import jax
     import jax.numpy as jnp
 
@@ -27,11 +32,14 @@ def scan_step_time(run_k, carry0, key, k1=2, k2=10):
         out = run_k(carry0, key, k)
         leaf = jax.tree_util.tree_leaves(out)[0]
         float(leaf.reshape(-1)[0].astype(jnp.float32))  # compile + settle
-        t0 = time.perf_counter()
-        out = run_k(carry0, key, k)
-        leaf = jax.tree_util.tree_leaves(out)[0]
-        float(leaf.reshape(-1)[0].astype(jnp.float32))
-        times[k] = time.perf_counter() - t0
+        best = float("inf")
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            out = run_k(carry0, key, k)
+            leaf = jax.tree_util.tree_leaves(out)[0]
+            float(leaf.reshape(-1)[0].astype(jnp.float32))
+            best = min(best, time.perf_counter() - t0)
+        times[k] = best
     return (times[k2] - times[k1]) / (k2 - k1)
 
 

@@ -524,6 +524,41 @@ class TestRowBlockKernel:
                                        rtol=3e-5, atol=3e-5)
 
 
+    def test_rowblock_stage_padded_chain_matches_unfused(self, monkeypatch):
+        """The NewCRF STAGE chains its two blocks on the padded layout (pad
+        once, no crop/re-pad between blocks — PERF.md round 5). Forced
+        through the real stage glue in interpret mode, the output and param
+        tree must match the unfused stage."""
+        import functools
+
+        import numpy as np
+
+        import tpudepth.models.newcrf as crf_mod
+        import tpudepth.ops.pallas.rowblock_infer as rbi
+
+        x, v = self._mk(13, b=1)
+        stage = crf_mod.NewCRF(input_dim=32, embed_dim=32, v_dim=32,
+                               num_heads=4, window_size=7)
+        variables = stage.init(jax.random.PRNGKey(3), x, v)
+        y_ref = stage.apply(variables, x, v)
+
+        monkeypatch.setattr(crf_mod.CRFBlock, "_use_rowblock",
+                            lambda self, c, w: True)
+        monkeypatch.setattr(rbi, "crf_rowblock_infer",
+                            functools.partial(rbi.crf_rowblock_infer,
+                                              interpret=True))
+        fused_vars = stage.init(jax.random.PRNGKey(3), x, v)
+        ref_flat = jax.tree_util.tree_flatten_with_path(variables["params"])[0]
+        alt_flat = jax.tree_util.tree_flatten_with_path(fused_vars["params"])[0]
+        assert [k for k, _ in ref_flat] == [k for k, _ in alt_flat]
+        for (ka, a), (_, bb) in zip(ref_flat, alt_flat):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(bb),
+                                          err_msg=str(ka))
+        y_fused = stage.apply(variables, x, v)
+        np.testing.assert_allclose(np.asarray(y_fused), np.asarray(y_ref),
+                                   rtol=3e-5, atol=3e-5)
+
+
 class TestFusedEpilogueKernel:
     """ops/pallas/epilogue_infer: flat-row block-tail kernel (proj + residual
     + LN2 + FFN + residual). Exactness vs the explicit composition and vs the

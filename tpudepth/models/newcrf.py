@@ -98,7 +98,14 @@ class CRFBlock(nn.Module):
     use_pallas: Optional[bool] = None
 
     @nn.compact
-    def __call__(self, x: jax.Array, v: jax.Array) -> jax.Array:
+    def __call__(self, x: jax.Array, v: jax.Array,
+                 padded_io: Optional[tuple] = None) -> jax.Array:
+        """``padded_io=(h, w)``: x/v are already zero-padded to window
+        multiples (true content extent h x w) and the PADDED output is
+        returned — the NewCRF stage chains its two blocks without the
+        intermediate crop/re-pad copies (rowblock path only)."""
+        if padded_io is not None:
+            return self._rowblock(x, v, padded_io)
         b, h, w, c = x.shape
         ws, ss = self.window_size, self.shift_size
 
@@ -196,9 +203,10 @@ class CRFBlock(nn.Module):
         """Window-ROW whole-block kernel (``ops/pallas/rowblock_infer.py``):
         reads window rows straight out of the image layout (no HBM
         partition/reverse copies) while keeping projections/FFN on flat
-        full-height MXU tiles. DEFAULT for NewCRF TPU eval — on-chip A/B
-        measured 479.8 vs 409.1 img/s @480x640 bs8 for the round-4/5
-        attn+epilogue kernel pair (PERF.md round 5). ``TPUDEPTH_BLOCK=pair``
+        full-height MXU tiles. DEFAULT for NewCRF TPU eval — device-true
+        xplane totals 19.58 vs the attn+epilogue kernel pair's 19.84
+        ms/batch @480x640 bs8 (+1.3%, confirmed by the same-process
+        min-of-reps scan A/B; PERF.md round 5). ``TPUDEPTH_BLOCK=pair``
         (or ``fused``) opts out."""
         import os
 
@@ -214,14 +222,18 @@ class CRFBlock(nn.Module):
         return rowblock_available(c, self.num_heads, int(c * self.mlp_ratio),
                                   _roundup(w, self.window_size))
 
-    def _rowblock(self, x: jax.Array, v: jax.Array) -> jax.Array:
+    def _rowblock(self, x: jax.Array, v: jax.Array,
+                  padded_io: Optional[tuple] = None) -> jax.Array:
         """TPU-inference path: the whole CRF block as one window-row kernel.
-        Shifted blocks keep the XLA pad+roll/unroll copies (wrap-around is
-        not expressible as a block index map); everything else reads/writes
-        the raw image layout directly."""
+        Shifted blocks keep the XLA roll/unroll copies (wrap-around is not
+        expressible as a block index map). With ``padded_io`` the pad/crop
+        copies move to the stage level (the valid-mask semantics only need
+        pad POSITIONS zeroed on the q/k/v streams, which `LN(x) * valid`
+        does in-kernel, so a previous block's finite pad-position garbage
+        in x is harmless)."""
         from tpudepth.ops.pallas.rowblock_infer import crf_rowblock_infer
 
-        b, h, w, c = x.shape
+        b, hh, ww, c = x.shape
         ws, ss = self.window_size, self.shift_size
         dt = self.dtype or jnp.promote_types(x.dtype, jnp.float32)
 
@@ -229,9 +241,15 @@ class CRFBlock(nn.Module):
         x = x.astype(dt)
         v = v.astype(dt)
 
-        if ss > 0:
-            xp, hp, wp = pad_to_window_multiple(x, ws)
+        if padded_io is not None:
+            h, w = padded_io
+            xp, vp = x, v
+        else:
+            h, w = hh, ww
+            xp, _, _ = pad_to_window_multiple(x, ws)
             vp, _, _ = pad_to_window_multiple(v, ws)
+
+        if ss > 0:
             xr = jnp.roll(xp, (-ss, -ss), axis=(1, 2))
             vr = jnp.roll(vp, (-ss, -ss), axis=(1, 2))
             mask = jnp.asarray(shifted_window_attention_mask(h, w, ws, ss))
@@ -239,13 +257,14 @@ class CRFBlock(nn.Module):
                 xr, vr, ln1, ap["wqk"], ap["bqk"], ap["bias"], ap["wproj"],
                 ap["bproj"], ln2, w1, b1, w2, b2, mask, scale=ap["scale"],
                 window_size=ws, valid_hw=(h, w, ss))
-            return jnp.roll(yr, (ss, ss), axis=(1, 2))[:, :h, :w, :]
-        xp, hp, wp = pad_to_window_multiple(x, ws)
-        vp, _, _ = pad_to_window_multiple(v, ws)
-        y = crf_rowblock_infer(
-            xp, vp, ln1, ap["wqk"], ap["bqk"], ap["bias"], ap["wproj"],
-            ap["bproj"], ln2, w1, b1, w2, b2, None, scale=ap["scale"],
-            window_size=ws, valid_hw=(h, w, 0))
+            y = jnp.roll(yr, (ss, ss), axis=(1, 2))
+        else:
+            y = crf_rowblock_infer(
+                xp, vp, ln1, ap["wqk"], ap["bqk"], ap["bias"], ap["wproj"],
+                ap["bproj"], ln2, w1, b1, w2, b2, None, scale=ap["scale"],
+                window_size=ws, valid_hw=(h, w, 0))
+        if padded_io is not None:
+            return y
         return y[:, :h, :w, :]
 
     def _declare_params(self, x: jax.Array, v: jax.Array):
@@ -321,8 +340,8 @@ class NewCRF(nn.Module):
         if self.v_dim != self.embed_dim:
             v = Conv(self.embed_dim, 3, padding=1, dtype=self.dtype, name="proj_v")(v)
 
-        for i in range(self.depth):
-            x = CRFBlock(
+        blocks = [
+            CRFBlock(
                 self.embed_dim,
                 self.num_heads,
                 self.window_size,
@@ -330,5 +349,29 @@ class NewCRF(nn.Module):
                 dtype=self.dtype,
                 use_pallas=self.use_pallas,
                 name=f"block{i}",
-            )(x, v)
+            )
+            for i in range(self.depth)
+        ]
+        import os
+
+        b, h, w, c = x.shape
+        if (blocks and blocks[0]._use_rowblock(self.embed_dim, w)
+                and os.environ.get("TPUDEPTH_STAGE_CHAIN") == "on"):
+            # stage-level padded IO: pad x/v ONCE, chain the window-row
+            # block kernels on the padded layout (no crop/re-pad between
+            # blocks), crop once at the end. Opt-IN quantified negative:
+            # same-process A/B measured it ~1% SLOWER than per-block
+            # pad/crop (19.84-20.01 vs 19.58-19.76 ms/batch @480x640 bs8)
+            # — XLA's crop+pad+roll fusions were already single copies, and
+            # chaining denies XLA the zero-pad constant folding it applies
+            # to freshly padded kernel inputs (PERF.md round 5).
+            dt = self.dtype or jnp.promote_types(x.dtype, jnp.float32)
+            xp, _, _ = pad_to_window_multiple(x.astype(dt), self.window_size)
+            vp, _, _ = pad_to_window_multiple(v.astype(dt), self.window_size)
+            for blk in blocks:
+                xp = blk(xp, vp, padded_io=(h, w))
+            x = xp[:, :h, :w, :]
+        else:
+            for blk in blocks:
+                x = blk(x, v)
         return LayerNorm(dtype=self.dtype, name="norm_crf")(x)

@@ -187,11 +187,11 @@ class SAMBlock(nn.Module):
         """Window-ROW whole-block kernel (``ops/pallas/rowblock_infer.py``):
         image-layout spatial blocks (no HBM partition/reverse copies) with
         flat full-height projections. Opt-IN for SAM (``TPUDEPTH_BLOCK=row``)
-        — the on-chip A/B measured 576.3 vs the kernel pair's 585.1 img/s
-        @480x640 bs8: SAM has no shifted blocks, so the copies the row
-        kernel removes are smaller than its windowize-relayout cost
-        (PERF.md round 5; NewCRF, where shifts double the copy traffic,
-        defaults to row)."""
+        — the same-process min-of-reps A/B measured 14.44 vs the kernel
+        pair's 14.13-14.38 ms/batch @480x640 bs8: SAM has no shifted
+        blocks, so the copies the row kernel removes are smaller than its
+        in-kernel windowize-relayout cost (PERF.md round 5; NewCRF, where
+        the cyclic shifts double the copy traffic, defaults to row)."""
         import os
 
         from tpudepth.ops.attention import is_training_trace

@@ -44,6 +44,19 @@ _ERF_CLAMP = 3.9375
 _ERF_TSCALE = 0.1289997480473671  # 2 / B^2
 
 
+def _erf_as(x):
+    """Abramowitz & Stegun 7.1.26 rational erf (max abs err 1.5e-7) — the
+    round-4 form, kept behind ``TPUDEPTH_ERF=as`` for A/B attribution."""
+    a1, a2, a3, a4, a5 = (0.254829592, -0.284496736, 1.421413741,
+                          -1.453152027, 1.061405429)
+    p = 0.3275911
+    ax = jnp.abs(x)
+    t = 1.0 / (1.0 + p * ax)
+    poly = ((((a5 * t + a4) * t + a3) * t + a2) * t + a1) * t
+    y = 1.0 - poly * jnp.exp(-ax * ax)
+    return jnp.sign(x) * y
+
+
 def _erf(x):
     """Polynomial erf: z * P(2*z^2/B^2 - 1) with z clamped to [-B, B].
 
@@ -55,6 +68,10 @@ def _erf(x):
     kernels evaluate 78M erfs each). This odd-polynomial form is pure
     FMA + one clamp — no exp, no divide — at the same accuracy (max abs
     error 2.1e-7, f32-evaluated)."""
+    import os
+
+    if os.environ.get("TPUDEPTH_ERF") == "as":  # trace-time A/B switch
+        return _erf_as(x)
     z = jnp.clip(x, -_ERF_CLAMP, _ERF_CLAMP)
     t = z * z * jnp.float32(_ERF_TSCALE) - 1.0
     p = jnp.float32(_ERF_COEF[-1])
