@@ -49,18 +49,21 @@ def main():
                     ).astype(jnp.bfloat16)
     variables = init_model(model, jax.random.PRNGKey(0), x[:1])
 
-    modes = [("chain", {"TPUDEPTH_BLOCK": "row",
-                        "TPUDEPTH_STAGE_CHAIN": "on"}),
-             ("perblock", {"TPUDEPTH_BLOCK": "row"}),
-             ("pair", {"TPUDEPTH_BLOCK": "pair"})]
-    if name == "sam":  # SAM has no shifted blocks / stage chain
-        modes = modes[1:]
+    modes = [("row_rauto", {"TPUDEPTH_BLOCK": "row"}),
+             ("row_r1", {"TPUDEPTH_BLOCK": "row",
+                         "TPUDEPTH_ROWBLOCK_R": "1"}),
+             ("pair", {"TPUDEPTH_BLOCK": "pair"}),
+             ("chain", {"TPUDEPTH_BLOCK": "row",
+                        "TPUDEPTH_STAGE_CHAIN": "on"})]
+    if name == "sam":  # SAM has no shifted blocks / stage chain / r
+        modes = [m for m in modes if m[0] in ("row_r1", "pair")]
     for rep in range(2):
-        for name, env in modes:
+        for mode_name, env in modes:
             os.environ.pop("TPUDEPTH_STAGE_CHAIN", None)
+            os.environ.pop("TPUDEPTH_ROWBLOCK_R", None)
             os.environ.update(env)
             t = scan_time(lambda c: model.apply(variables, c, train=False), x)
-            print(f"rep{rep} {name}: {t*1e3:.2f} ms/batch "
+            print(f"rep{rep} {mode_name}: {t*1e3:.2f} ms/batch "
                   f"{bs/t:.1f} img/s", flush=True)
 
 

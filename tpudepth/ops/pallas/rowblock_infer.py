@@ -82,16 +82,34 @@ def _flat_proj(x_dt, w_ref, b_ref, prec):
     return y + b_ref[:].astype(jnp.float32)
 
 
-def _windowize(t, ws: int, nww: int, c: int):
-    """[ws*Wp, C] flat rows -> [nW, N, C] window tokens (VMEM relayout)."""
-    return (t.reshape(ws, nww, ws, c).transpose(1, 0, 2, 3)
-            .reshape(nww, ws * ws, c))
+def _windowize(t, ws: int, nww: int, c: int, r: int = 1):
+    """[r*ws*Wp, C] flat rows -> [r*nW, N, C] window tokens (VMEM relayout).
+    For r > 1 (multiple window rows per block) each sub-row is relayouted
+    separately and concatenated along the window-batch dim — Mosaic handles
+    the rank-4 transpose; a rank-5 version is not attempted."""
+    if r == 1:
+        return (t.reshape(ws, nww, ws, c).transpose(1, 0, 2, 3)
+                .reshape(nww, ws * ws, c))
+    m = ws * nww * ws
+    parts = [
+        _windowize(jax.lax.slice_in_dim(t, i * m, (i + 1) * m, axis=0),
+                   ws, nww, c)
+        for i in range(r)
+    ]
+    return jnp.concatenate(parts, axis=0)
 
 
-def _merge(t, ws: int, nww: int, c: int):
-    """[nW, N, C] -> [ws*Wp, C] flat rows (inverse of :func:`_windowize`)."""
-    return (t.reshape(nww, ws, ws, c).transpose(1, 0, 2, 3)
-            .reshape(ws * nww * ws, c))
+def _merge(t, ws: int, nww: int, c: int, r: int = 1):
+    """[r*nW, N, C] -> [r*ws*Wp, C] flat rows (inverse of _windowize)."""
+    if r == 1:
+        return (t.reshape(nww, ws, ws, c).transpose(1, 0, 2, 3)
+                .reshape(ws * nww * ws, c))
+    parts = [
+        _merge(jax.lax.slice_in_dim(t, i * nww, (i + 1) * nww, axis=0),
+               ws, nww, c)
+        for i in range(r)
+    ]
+    return jnp.concatenate(parts, axis=0)
 
 
 def _attn_core(q, k, v, bias_ref, mask, heads, dt, prec):
@@ -134,11 +152,11 @@ def _epilogue(xf_dt, o_f32, wproj, bproj, ln2s, ln2b, w1, b1, w2, b2,
 
 def _crf_kernel(x_ref, v_ref, valid_ref, ln1s, ln1b, wqk, bqk, bias_ref,
                 wproj, bproj, ln2s, ln2b, w1, b1, w2, b2,
-                *rest, heads, scale, ws, nww, has_mask):
+                *rest, heads, scale, ws, nww, has_mask, r=1):
     mask_ref = rest[0] if has_mask else None
     out_ref = rest[-1]
     _, _, wp, c = x_ref.shape
-    m = ws * wp
+    m = r * ws * wp
     dt = x_ref.dtype
     prec = None if dt == jnp.bfloat16 else jax.lax.Precision.HIGHEST
 
@@ -157,15 +175,15 @@ def _crf_kernel(x_ref, v_ref, valid_ref, ln1s, ln1b, wqk, bqk, bias_ref,
     q = (jax.lax.slice_in_dim(qk, 0, c, axis=1) * scale).astype(dt)
     k = jax.lax.slice_in_dim(qk, c, 2 * c, axis=1).astype(dt)
 
-    q3 = _windowize(q, ws, nww, c)
-    k3 = _windowize(k, ws, nww, c)
-    v3 = _windowize(vv.astype(dt), ws, nww, c)
+    q3 = _windowize(q, ws, nww, c, r)
+    k3 = _windowize(k, ws, nww, c, r)
+    v3 = _windowize(vv.astype(dt), ws, nww, c, r)
     mask = mask_ref[:].astype(jnp.float32) if mask_ref is not None else None
     o = _attn_core(q3, k3, v3, bias_ref, mask, heads, dt, prec)
-    of = _merge(o, ws, nww, c)  # [M, C] f32
+    of = _merge(o, ws, nww, c, r)  # [M, C] f32
 
     out = _epilogue(x, of, wproj, bproj, ln2s, ln2b, w1, b1, w2, b2, dt, prec)
-    out_ref[0] = out.reshape(ws, wp, c).astype(out_ref.dtype)
+    out_ref[0] = out.reshape(r * ws, wp, c).astype(out_ref.dtype)
 
 
 def _sam_kernel(x_ref, v_ref, valid_ref, ln1s, ln1b, lnvs, lnvb, wq, bq,
@@ -220,13 +238,27 @@ def _specs_1d(n):
     return pl.BlockSpec((n,), lambda b, i: (0,), memory_space=pltpu.VMEM)
 
 
-def _common_specs(b, hg, wg, c, ws, hp, wp, heads, n):
-    img = pl.BlockSpec((1, ws, wp, c), lambda bb, i: (bb, i, 0, 0),
+def _pick_rows(nh: int, ws: int, wp: int, c: int, hidden: int,
+               budget: int = 40 << 20) -> int:
+    """Window rows per program: amortizes per-program overhead and widens
+    the flat-M dots; bounded by a VMEM budget on the f32 intermediates and
+    by dividing nh."""
+    per_row = ws * wp * (6 * c + 2 * hidden) * 4
+    cap = max(1, budget // max(per_row, 1))
+    r = 1
+    for cand in range(1, min(cap, nh) + 1):
+        if nh % cand == 0:
+            r = cand
+    return r
+
+
+def _common_specs(b, hg, wg, c, ws, hp, wp, heads, n, r=1):
+    img = pl.BlockSpec((1, r * ws, wp, c), lambda bb, i: (bb, i, 0, 0),
                        memory_space=pltpu.VMEM)
     # [Hp, Wp, 1]: the trailing size-1 lane dim keeps the in-kernel reshape
     # to [M, 1] a pure major-merge (minor dim unchanged) and broadcasts
     # directly against [M, C].
-    valid = pl.BlockSpec((ws, wp, 1), lambda bb, i: (i, 0, 0),
+    valid = pl.BlockSpec((r * ws, wp, 1), lambda bb, i: (i, 0, 0),
                          memory_space=pltpu.VMEM)
     bias = pl.BlockSpec((heads, n, n), lambda bb, i: (0, 0, 0),
                         memory_space=pltpu.VMEM)
@@ -249,6 +281,7 @@ def crf_rowblock_infer(
     scale: float,
     window_size: int = 7,
     valid_hw: Optional[tuple] = None,
+    rows_per_block: int = 0,
     interpret: bool = False,
 ) -> jax.Array:
     """Fused NewCRF block over image-layout window rows.
@@ -275,8 +308,15 @@ def crf_rowblock_infer(
     h0, w0, shift = valid_hw if valid_hw is not None else (hg, wg, 0)
     vimg = jnp.asarray(_valid_image(h0, w0, hp, wp, shift)[:, :, None])
 
+    import os
+
+    r = (rows_per_block
+         or int(os.environ.get("TPUDEPTH_ROWBLOCK_R", "0"))
+         or _pick_rows(nh, ws, wp, c, hidden))
+    assert nh % r == 0, (nh, r)
+
     img, valid, bias_s, full2d = _common_specs(b, hg, wg, c, ws, hp, wp,
-                                               heads, n)
+                                               heads, n, r)
     inputs = [x, v.astype(dt), vimg, ln1[0], ln1[1], wqk.astype(dt), bqk,
               bias, wproj.astype(dt), bproj, ln2[0], ln2[1],
               w1.astype(dt), b1, w2.astype(dt), b2]
@@ -288,7 +328,8 @@ def crf_rowblock_infer(
     if mask is not None:
         assert mask.shape[0] == nh * nww, (mask.shape, nh, nww)
         inputs.append(mask)
-        in_specs.append(pl.BlockSpec((nww, n, n), lambda bb, i: (i, 0, 0),
+        in_specs.append(pl.BlockSpec((r * nww, n, n),
+                                     lambda bb, i: (i, 0, 0),
                                      memory_space=pltpu.VMEM))
     m_tot = b * hp * wp
     flops = 2 * m_tot * c * (2 * c + c + 2 * hidden) \
@@ -300,9 +341,9 @@ def crf_rowblock_infer(
     )
     return pl.pallas_call(
         functools.partial(_crf_kernel, heads=heads, scale=scale, ws=ws,
-                          nww=nww, has_mask=mask is not None),
+                          nww=nww, has_mask=mask is not None, r=r),
         out_shape=jax.ShapeDtypeStruct((b, hg, wg, c), dt),
-        grid=(b, nh),
+        grid=(b, nh // r),
         in_specs=in_specs,
         out_specs=img,
         cost_estimate=cost,
